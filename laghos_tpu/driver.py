@@ -1,0 +1,120 @@
+"""Time-integration driver: adaptive dt with step repetition.
+
+Host-side control loop mirroring the reference's main loop
+(laghos.cpp:741-920): jitted `advance` calls do all device work; only the
+scalar dt control decisions live in Python, exactly as the reference keeps
+them outside its device kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from .hydro import Hydro
+
+
+@dataclasses.dataclass
+class RunResult:
+    steps: int
+    t: float
+    dt: float
+    e_norm: float
+    energy_init: float
+    energy_final: float
+    h1_iters: int
+    l2_iters: int
+    quad_steps: int
+    norms: dict          # step -> |e| at the steps where it was sampled
+    timings: dict
+
+
+def run(
+    hydro: Hydro,
+    t_final: float,
+    max_steps: int = -1,
+    vis_steps: int = 5,
+    on_vis: Optional[Callable] = None,
+    check_steps: tuple = (),
+    verbose: bool = False,
+) -> RunResult:
+    S = hydro.S0
+    ie, ke = hydro.energies(S)
+    energy_init = float(ie) + float(ke)
+
+    t = 0.0
+    dt = float(hydro.dt_estimate(S))
+    last_step = False
+    steps = 0
+    ti = 1
+    h1_iters = 0
+    l2_iters = 0
+    quad_steps = 0
+    norms = {}
+    t0 = time.perf_counter()
+    count_stage1 = False  # stage-1 qdata is memoized except after rollback
+
+    while not last_step:
+        if t + dt >= t_final:
+            dt = t_final - t
+            last_step = True
+        if steps == max_steps:
+            last_step = True
+        S_old, t_old = S, t
+
+        S_new, dt_est, (h1it, l2it) = hydro.advance(S, dt, count_stage1)
+        count_stage1 = False
+        steps += 1
+        dt_est = float(dt_est)
+
+        if dt_est < dt:
+            # Repeat with decreased dt (laghos.cpp:764-777)
+            dt *= 0.85
+            if dt < np.finfo(np.float64).eps:
+                raise RuntimeError("The time step crashed!")
+            t = t_old
+            S = S_old
+            count_stage1 = True
+            if verbose:
+                print(f"Repeating step {ti}")
+            # faithful to laghos.cpp:775 (including max_tsteps = -1)
+            if steps < max_steps:
+                last_step = False
+            continue
+        S = S_new
+        t += dt
+        h1_iters += int(h1it)
+        l2_iters += int(l2it)
+        quad_steps += hydro.NE
+        if dt_est > 1.25 * dt:
+            dt *= 1.02
+
+        if last_step or (ti % vis_steps) == 0 or ti in check_steps:
+            en = hydro.e_norm(S)
+            norms[ti] = en
+            if verbose:
+                print(f"step {ti:5d},\tt = {t:.4f},\tdt = {dt:.6f},"
+                      f"\t|e| = {en:.10e}")
+            if on_vis is not None:
+                on_vis(ti, t, S)
+        ti += 1
+
+    wall = time.perf_counter() - t0
+    ie, ke = hydro.energies(S)
+    return RunResult(
+        steps=ti - 1,
+        t=t,
+        dt=dt,
+        e_norm=hydro.e_norm(S),
+        energy_init=energy_init,
+        energy_final=float(ie) + float(ke),
+        h1_iters=h1_iters,
+        l2_iters=l2_iters,
+        quad_steps=quad_steps,
+        norms=norms,
+        timings={"total": wall},
+    )

@@ -1,0 +1,576 @@
+"""LagrangianHydroOperator: the semi-discrete Euler RHS, TPU-native.
+
+Re-designs the reference's central operator (laghos_solver.cpp:104-796)
+as a set of pure jitted functions over a state pytree
+    S = {"x": (dim, nH1), "v": (dim, nH1), "e": (NE, l2d)}
+solving, per evaluation (laghos_solver.cpp:308-518):
+    dx/dt = v
+    Mv dv/dt = - F . 1            (CG on the H1 mass, per component)
+    Me de/dt = + F^T . v (+ src)  (CG on the L2 mass)
+with the force qdata recomputed by the qupdate kernel.
+
+Everything static (basis tables, gather maps, t=0 mass data) is built once
+on host NumPy; the per-step work is a single jitted `advance` containing
+the RK stages, the CG loops (lax.while_loop) and the dt estimate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import problems
+from .fem import basis as fb
+from .fem import quadrature as fq
+from .fem.mesh import Mesh, SEGMENT, SQUARE, CUBE
+from .fem.space import L2Space, build_h1_space
+from .ops import force as fop
+from .ops import mass as mop
+from .ops import qupdate as qop
+from .ops import tensor as top
+from .solvers.cg import cg
+
+
+@dataclasses.dataclass
+class Options:
+    """Run configuration mirroring the reference CLI (laghos.cpp:181-278)."""
+
+    problem: int = 1
+    order_v: int = 2          # -ok
+    order_e: int = 1          # -ot
+    order_q: int = -1         # -oq
+    cfl: float = 0.5
+    cg_tol: float = 1e-8      # -cgt
+    cg_max_iter: int = 300    # -cgm
+    ftz_tol: float = 0.0      # -ftz (unused on PA path, like the reference)
+    p_assembly: bool = True   # -pa / -fa
+    impose_visc: bool = False
+    blast_energy: float = 1.0  # -E0
+    delta_tol: float = 1e-12   # -dtol
+    ode_solver: int = 4        # -s
+    blast_position: tuple = (0.0, 0.0, 0.0)
+
+
+def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
+    """Physical coords of tensor-lattice points `pts_per_dim` (n,) in [0,1]
+    inside each (multi)linear element: (NE, n^dim, dim)."""
+    d = mesh.dim
+    corners = mesh.verts[mesh.corners_lattice()]  # (NE, 2^d, dim)
+    n = pts_per_dim.size
+    ncor = 2**d
+    nd = n**d
+    # lattice multi-index, x fastest
+    rng = np.arange(n)
+    grids = np.meshgrid(*([rng] * d), indexing="ij")
+    lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+    w = np.ones((nd, ncor))
+    for dd in range(d):
+        t = pts_per_dim[lat[:, dd]][:, None]
+        bit = (np.arange(ncor) >> dd) & 1
+        w *= np.where(bit[None, :] == 0, 1.0 - t, t)
+    return np.einsum("nc,ecd->end", w, corners)
+
+
+class Hydro:
+    """Holds all static data + jitted step/estimate functions."""
+
+    def __init__(self, mesh: Mesh, opt: Options, dtype=jnp.float64):
+        self.mesh = mesh
+        self.opt = opt
+        self.dtype = dtype
+        d = self.dim = mesh.dim
+        NE = self.NE = mesh.num_elems
+        pb = opt.problem
+
+        self.source, self.use_visc, self.use_vort = problems.problem_flags(
+            pb, d)
+        if opt.impose_visc:
+            self.use_visc = True
+        # 1D has no PA in the reference (laghos.cpp:455-462)
+        self.p_assembly = opt.p_assembly and d > 1
+
+        # --- spaces and tables -------------------------------------------
+        self.h1 = build_h1_space(mesh, opt.order_v)
+        self.l2 = L2Space(mesh, opt.order_e)
+        ir_order = fq.default_rule_order(opt.order_v, opt.order_e,
+                                         opt.order_q)
+        nq1 = self.nq1 = fq.points_for_order(ir_order)
+        self.NQ = nq1**d
+        qpts, w1 = fq.gauss_legendre(nq1)
+        W = w1
+        for _ in range(d - 1):
+            W = np.kron(w1, W)  # x fastest on the flat q index
+        h1b = fb.h1_gl_basis(opt.order_v, nq1)
+        l2b = fb.l2_bernstein_basis(opt.order_e, nq1)
+        self.tables = {
+            "H1B": jnp.asarray(h1b.B, dtype),
+            "H1G": jnp.asarray(h1b.G, dtype),
+            "L2B": jnp.asarray(l2b.B, dtype),
+            "W": jnp.asarray(W, dtype),
+        }
+        self.gather = jnp.asarray(self.h1.gather)
+        self.ndof = self.h1.ndof
+        self.nd1 = opt.order_v + 1
+        self.l1d = opt.order_e + 1
+        self.ld = self.l1d**d
+
+        # --- initial state ------------------------------------------------
+        x0 = self.h1.node_coords                       # (ndof, d)
+        v0 = problems.v0(pb, x0, d)                    # (ndof, d)
+        self.ess_mask = np.stack(
+            [self.h1.ess_mask(c) for c in range(d)])   # (d, ndof)
+        v0 = v0.copy()
+        v0.T[self.ess_mask] = 0.0
+
+        # --- t=0 geometry ------------------------------------------------
+        x0_l = x0.T                                    # (d, ndof)
+        x0_e = x0_l[:, self.h1.gather].transpose(1, 0, 2)  # (NE,d,nd)
+        J0 = np.asarray(qop.jacobians(jnp.asarray(x0_e, dtype),
+                                      self.tables["H1B"],
+                                      self.tables["H1G"], d))
+        detJ0 = np.linalg.det(J0)                      # (NE, NQ)
+        self.Jac0inv = np.linalg.inv(J0)               # (NE, NQ, d, d)
+
+        # L2 fields: interpolate at Gauss-Legendre nodal points, convert to
+        # Bernstein (laghos.cpp:589-624)
+        gl_nodes, _ = fq.gauss_legendre(opt.order_e + 1)
+        l2_nodes = _l2_node_coords(mesh, gl_nodes)     # (NE, ld, d)
+        rho0_nodal = problems.rho0(pb, l2_nodes, d)    # (NE, ld)
+        T1 = fb.nodal_to_bernstein(opt.order_e)
+        rho0_b = self._nodal_to_bernstein_nd(rho0_nodal, T1)
+        if pb == 1:
+            e_nodal = self._sedov_delta_nodal(gl_nodes, detJ0)
+        else:
+            e_nodal = problems.e0(pb, l2_nodes, d)
+        e_b = self._nodal_to_bernstein_nd(e_nodal, T1)
+
+        centers = _l2_node_coords(mesh, np.array([0.5]))[:, 0, :]
+        gamma_e = problems.gamma(pb, centers, d)       # (NE,)
+        # rho0 at qpoints from the *projected* gf (laghos_solver.cpp:1186)
+        L2Bq = np.asarray(self.tables["L2B"])
+        rho0_q = self._l2_eval_np(rho0_b, L2Bq)        # (NE, NQ)
+        self.rho0DetJ0w = W[None, :] * rho0_q * detJ0
+
+        vol = float((W[None, :] * detJ0).sum())
+        geom = {1: SEGMENT, 2: SQUARE, 3: CUBE}[d]
+        ne_glob = NE
+        if geom == SEGMENT:
+            h0 = vol / ne_glob
+        elif geom == SQUARE:
+            h0 = np.sqrt(vol / ne_glob)
+        else:
+            h0 = (vol / ne_glob) ** (1.0 / 3.0)
+        self.h0 = h0 / opt.order_v                     # laghos_solver.cpp:262
+
+        # --- mass data (pointwise rho0 coefficient, laghos_solver.cpp:178) -
+        xq0 = self._h1_eval_np(x0_e, np.asarray(self.tables["H1B"]))
+        rho0_pw = problems.rho0(pb, xq0, d)            # (NE, NQ)
+        self.massD = jnp.asarray(W[None, :] * rho0_pw * detJ0, dtype)
+        diag = mop.h1_mass_diag(self.gather, self.ndof, self.massD,
+                                self.tables["H1B"], d)
+        self.h1_dinv = 1.0 / diag
+        Me = np.asarray(
+            mop.l2_mass_matrices(self.massD, self.tables["L2B"], d))
+        self.Me_inv = jnp.asarray(np.linalg.inv(Me), dtype)  # (NE, ld, ld)
+
+        # RT gravity RHS is constant in time: B_g = Mv . g, g = (0,-1,0)
+        if self.source == 2:
+            g = np.zeros((d, self.ndof))
+            g[1, :] = -1.0
+            self.rt_rhs = mop.h1_mass_apply(
+                jnp.asarray(g, dtype), self.gather, self.ndof, self.massD,
+                self.tables["H1B"], d)
+        else:
+            self.rt_rhs = None
+
+        self.ess_mask_j = jnp.asarray(self.ess_mask)
+        self.gamma_j = jnp.asarray(gamma_e, dtype)
+        self.rho0DetJ0w_j = jnp.asarray(self.rho0DetJ0w, dtype)
+        self.Jac0inv_j = jnp.asarray(self.Jac0inv, dtype)
+        self.one_l2 = jnp.ones((NE, self.ld), dtype)
+        eps = np.finfo(np.float64).eps
+        self.ftz_eps2 = eps * eps
+
+        self.S0 = {
+            "x": jnp.asarray(x0_l, dtype),
+            "v": jnp.asarray(v0.T, dtype),
+            "e": jnp.asarray(e_b, dtype),
+        }
+
+        # compiled entry points (built lazily, keyed by static flags)
+        self._advance_cache = {}
+        self._estimate = jax.jit(self._dt_estimate_impl)
+        self._energies = jax.jit(self._energies_impl)
+
+    # -------------------------------------------------- setup helpers ----
+    def _nodal_to_bernstein_nd(self, f_nodal: np.ndarray, T1: np.ndarray):
+        d = self.dim
+        n = self.l1d
+        out = f_nodal.reshape((self.NE,) + (n,) * d)
+        for k in range(d):
+            ax = out.ndim - 1 - k
+            out = np.moveaxis(
+                np.tensordot(out, T1, axes=[[ax], [1]]), -1, ax)
+        return out.reshape(self.NE, self.ld)
+
+    def _l2_eval_np(self, u, B):
+        d = self.dim
+        ut = u.reshape((self.NE,) + (self.l1d,) * d)
+        for k in range(d):
+            ax = ut.ndim - 1 - k
+            ut = np.moveaxis(np.tensordot(ut, B, axes=[[ax], [1]]), -1, ax)
+        return ut.reshape(self.NE, -1)
+
+    def _h1_eval_np(self, x_e, B):
+        """positions at qpoints: (NE, NQ, dim)."""
+        d = self.dim
+        ut = x_e.reshape((self.NE, d) + (self.nd1,) * d)
+        for k in range(d):
+            ax = ut.ndim - 1 - k
+            ut = np.moveaxis(np.tensordot(ut, B, axes=[[ax], [1]]), -1, ax)
+        return np.moveaxis(ut.reshape(self.NE, d, -1), 1, 2)
+
+    def _sedov_delta_nodal(self, gl_nodes: np.ndarray,
+                           detJ0: np.ndarray) -> np.ndarray:
+        """Point-blast energy: MFEM's delta projection + global rescale.
+
+        Replicates GridFunction::ProjectDeltaCoefficient as invoked at
+        laghos.cpp:597-616: find the mesh vertex nearest the blast point,
+        set dofs of adjacent elements to the ProjectDelta polynomial
+        ((1-t)^p or t^p per axis), then scale so the global integral is
+        blast_energy / 2^dim.
+        """
+        mesh, opt, d = self.mesh, self.opt, self.dim
+        center = np.asarray(opt.blast_position[:d])
+        dist = np.linalg.norm(mesh.verts - center[None, :], axis=1)
+        v_idx = int(np.argmin(dist))
+        out = np.zeros((self.NE, self.ld))
+        if dist[v_idx] >= opt.delta_tol:
+            raise RuntimeError("Delta function could not be initialized "
+                               "(no mesh vertex at the blast position)")
+        p = opt.order_e
+        # nodal L2 basis (Lagrange at GL points) at the quadrature points,
+        # for the element mass matrices of the integral normalization
+        qpts, w1 = fq.gauss_legendre(self.nq1)
+        Bn, _ = fb.lagrange_tables(gl_nodes, qpts)
+        full = Bn
+        for _ in range(d - 1):
+            full = np.kron(Bn, full)
+        W = w1
+        for _ in range(d - 1):
+            W = np.kron(w1, W)
+
+        lat = np.stack(
+            [g.reshape(-1, order="F") for g in np.meshgrid(
+                *([np.arange(p + 1)] * d), indexing="ij")], axis=1)
+
+        corners = mesh.corners_lattice()
+        integral = 0.0
+        for e in range(self.NE):
+            hit = np.where(corners[e] == v_idx)[0]
+            if hit.size == 0:
+                continue
+            # ProjectDelta polynomial for the local corner: per axis
+            # (1-t)^p or t^p depending on the corner bit (MFEM
+            # L2_*Element::ProjectDelta with Poly_1D::CalcDelta = t^p)
+            corner_bits = [(int(hit[0]) >> dd) & 1 for dd in range(d)]
+            vals1 = np.empty((d, p + 1))
+            for dd in range(d):
+                vals1[dd] = (gl_nodes**p if corner_bits[dd] == 1
+                             else (1.0 - gl_nodes) ** p)
+            vals = np.ones(self.ld)
+            for n_loc in range(self.ld):
+                for dd in range(d):
+                    vals[n_loc] *= vals1[dd][lat[n_loc, dd]]
+            out[e] = vals
+            # element mass (nodal basis, no coefficient, initial mesh)
+            Dq = W * detJ0[e]
+            Me = np.einsum("qi,qj,q->ij", full, full, Dq)
+            integral += (Me @ vals).sum()
+        scale = (opt.blast_energy / 2**d) / integral
+        out *= scale
+        return out
+
+    # -------------------------------------------------- jitted pieces ----
+    def _qupdate(self, S):
+        d = self.dim
+        x_e = S["x"][:, self.gather].transpose(1, 0, 2)
+        v_e = S["v"][:, self.gather].transpose(1, 0, 2)
+        return qop.qupdate(
+            x_e, v_e, S["e"], self.gamma_j, self.rho0DetJ0w_j,
+            self.Jac0inv_j, self.tables, self.h0,
+            dim=d, h1order=float(self.opt.order_v), cfl=self.opt.cfl,
+            use_viscosity=self.use_visc, use_vorticity=self.use_vort)
+
+    def _solve_velocity(self, sJit):
+        d = self.dim
+        Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
+                              ftz_eps2=self.ftz_eps2)     # (NE, d, nd)
+        rhs = -mop.e_to_l(jnp.swapaxes(Fone, 0, 1), self.gather, self.ndof)
+        if self.rt_rhs is not None:
+            rhs = rhs + self.rt_rhs
+        rhs = jnp.where(self.ess_mask_j, 0.0, rhs)
+
+        def apply_A(u):
+            y = mop.h1_mass_apply(u, self.gather, self.ndof, self.massD,
+                                  self.tables["H1B"], d)
+            return jnp.where(self.ess_mask_j, 0.0, y)
+
+        if self.p_assembly:
+            res = cg(apply_A, rhs, self.opt.cg_tol, self.opt.cg_max_iter,
+                     precond=lambda r: r * self.h1_dinv[None, :])
+            return res.x, jnp.sum(res.iters)
+        # FA: one coupled CG over all components (laghos_solver.cpp:400-439)
+        flat = rhs.reshape(1, -1)
+
+        def apply_flat(u):
+            return apply_A(u.reshape(d, -1)).reshape(1, -1)
+
+        dinv = jnp.broadcast_to(self.h1_dinv[None, :], (d, self.ndof))
+        dinv = jnp.where(self.ess_mask_j, 1.0, dinv).reshape(1, -1)
+        res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
+                 precond=lambda r: r * dinv)
+        return res.x.reshape(d, -1), jnp.sum(res.iters)
+
+    def _taylor_source(self, S):
+        """(f, psi) with the Taylor-Green forcing on the current mesh
+        (laghos_solver.cpp:455-465, laghos_solver.hpp:207-218)."""
+        d = self.dim
+        x_e = S["x"][:, self.gather].transpose(1, 0, 2)
+        J = qop.jacobians(x_e, self.tables["H1B"], self.tables["H1G"], d)
+        from .ops import smallmat
+
+        detJ = smallmat.det(J, d)
+        xt = x_e.reshape((self.NE, d) + (self.nd1,) * d)
+        xq = top.eval_values(xt, self.tables["H1B"], d).reshape(
+            self.NE, d, self.NQ)
+        X, Y = xq[:, 0], xq[:, 1]
+        pi = jnp.pi
+        fq_ = (3.0 / 8.0) * pi * (jnp.cos(3 * pi * X) * jnp.cos(pi * Y)
+                                  - jnp.cos(pi * X) * jnp.cos(3 * pi * Y))
+        integrand = self.tables["W"][None, :] * detJ * fq_
+        it = integrand.reshape((self.NE,) + (self.nq1,) * d)
+        out = top.eval_transpose(it, self.tables["L2B"].T, d)
+        return out.reshape(self.NE, self.ld)
+
+    def _solve_energy(self, S, sJit, v):
+        d = self.dim
+        v_e = v[:, self.gather].transpose(1, 0, 2)
+        e_rhs = fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
+        if self.source == 1:
+            e_rhs = e_rhs + self._taylor_source(S)
+        if self.p_assembly:
+            def apply_A(u):
+                ue = u.reshape(self.NE, self.ld)
+                ue = mop.mass_apply_e(ue, self.massD, self.tables["L2B"], d)
+                return ue.reshape(1, -1)
+
+            res = cg(apply_A, e_rhs.reshape(1, -1), self.opt.cg_tol,
+                     self.opt.cg_max_iter)
+            iters = jnp.maximum(res.iters[0], 1)
+            return res.x.reshape(self.NE, self.ld), iters
+        de = jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
+        return de, jnp.asarray(self.NE)
+
+    def _mult(self, S):
+        """dS/dt (laghos_solver.cpp:308-327). Returns (dS, dtmin, stats)."""
+        sJit, dtmin = self._qupdate(S)
+        dv, h1it = self._solve_velocity(sJit)
+        de, l2it = self._solve_energy(S, sJit, S["v"])
+        dS = {"x": S["v"], "v": dv, "e": de}
+        return dS, dtmin, (h1it, l2it)
+
+    # -------------------------------------------------- steppers ---------
+    def _step(self, S, dt, count_stage1: bool):
+        """One RK step; returns (S_new, dt_min_of_counted_stages, stats)."""
+        inf = jnp.asarray(jnp.inf, self.dtype)
+        h1tot = jnp.asarray(0)
+        l2tot = jnp.asarray(0)
+        dtacc = inf
+
+        def acc(dtmin, stats, counted):
+            nonlocal dtacc, h1tot, l2tot
+            if counted:
+                dtacc = jnp.minimum(dtacc, dtmin)
+            h1tot = h1tot + stats[0]
+            l2tot = l2tot + stats[1]
+
+        ax = lambda a, c, b: jax.tree_util.tree_map(
+            lambda u, v: u + c * v, a, b)
+
+        s = self.opt.ode_solver
+        if s == 7:
+            S_new = self._rk2avg(S, dt, count_stage1, acc)
+        elif s == 1:
+            k1, dtm, st = self._mult(S)
+            acc(dtm, st, count_stage1)
+            S_new = ax(S, dt, k1)
+        elif s == 2:
+            a = 0.5
+            b = 1.0 / (2.0 * a)
+            k1, dtm, st = self._mult(S)
+            acc(dtm, st, count_stage1)
+            y = ax(S, a * dt, k1)
+            k2, dtm, st = self._mult(y)
+            acc(dtm, st, True)
+            S_new = ax(ax(S, (1.0 - b) * dt, k1), b * dt, k2)
+        elif s == 3:
+            k1, dtm, st = self._mult(S)
+            acc(dtm, st, count_stage1)
+            y = ax(S, dt, k1)
+            k2, dtm, st = self._mult(y)
+            acc(dtm, st, True)
+            y = jax.tree_util.tree_map(
+                lambda s0, yy, kk: 0.75 * s0 + 0.25 * (yy + dt * kk),
+                S, y, k2)
+            k3, dtm, st = self._mult(y)
+            acc(dtm, st, True)
+            S_new = jax.tree_util.tree_map(
+                lambda s0, yy, kk: (s0 + 2.0 * (yy + dt * kk)) / 3.0,
+                S, y, k3)
+        elif s == 4:
+            k1, dtm, st = self._mult(S)
+            acc(dtm, st, count_stage1)
+            y = ax(S, dt / 2, k1)
+            k2, dtm, st = self._mult(y)
+            acc(dtm, st, True)
+            y = ax(S, dt / 2, k2)
+            k3, dtm, st = self._mult(y)
+            acc(dtm, st, True)
+            y = ax(S, dt, k3)
+            k4, dtm, st = self._mult(y)
+            acc(dtm, st, True)
+            S_new = jax.tree_util.tree_map(
+                lambda s0, a1, a2, a3, a4:
+                s0 + dt / 6.0 * (a1 + 2 * a2 + 2 * a3 + a4),
+                S, k1, k2, k3, k4)
+        elif s == 6:
+            S_new = self._rk6(S, dt, count_stage1, acc)
+        else:
+            raise ValueError(f"unknown ode solver {s}")
+        return S_new, dtacc, (h1tot, l2tot)
+
+    def _rk2avg(self, S, dt, count_stage1, acc):
+        """Energy-conserving two-stage average scheme
+        (laghos_solver.cpp:1447-1487)."""
+        v0 = S["v"]
+
+        def stage(Scur, counted):
+            sJit, dtm = self._qupdate(Scur)
+            dv, h1it = self._solve_velocity(sJit)
+            V = v0 + 0.5 * dt * dv
+            de, l2it = self._solve_energy(Scur, sJit, V)
+            acc(dtm, (h1it, l2it), counted)
+            return {"x": V, "v": dv, "e": de}
+
+        dS = stage(S, count_stage1)
+        Smid = jax.tree_util.tree_map(lambda a, b: a + 0.5 * dt * b, S, dS)
+        dS = stage(Smid, True)
+        return jax.tree_util.tree_map(lambda a, b: a + dt * b, S, dS)
+
+    def _rk6(self, S, dt, count_stage1, acc):
+        """Verner's 8-stage 6th-order method (mfem RK6Solver tableau)."""
+        a = _RK6_A
+        b = _RK6_B
+        ks = []
+        for i in range(8):
+            y = S
+            for j in range(i):
+                if a[i][j] != 0.0:
+                    y = jax.tree_util.tree_map(
+                        lambda u, v, c=a[i][j]: u + dt * c * v, y, ks[j])
+            k, dtm, st = self._mult(y)
+            acc(dtm, st, count_stage1 if i == 0 else True)
+            ks.append(k)
+        out = S
+        for j in range(8):
+            if b[j] != 0.0:
+                out = jax.tree_util.tree_map(
+                    lambda u, v, c=b[j]: u + dt * c * v, out, ks[j])
+        return out
+
+    # -------------------------------------------------- public API -------
+    def advance(self, S, dt, count_stage1=False):
+        """Step + post-step dt estimate, one compiled call.
+
+        Mirrors one iteration of the driver loop body (laghos.cpp:742-778):
+        the returned dt_est is the min over every qupdate since the last
+        reset — the counted RK stage states plus the final state.
+        """
+        key = bool(count_stage1)
+        if key not in self._advance_cache:
+            def f(S, dt):
+                S_new, dtacc, stats = self._step(S, dt, key)
+                _, dt_final = self._qupdate(S_new)
+                return S_new, jnp.minimum(dtacc, dt_final), stats
+            self._advance_cache[key] = jax.jit(f)
+        return self._advance_cache[key](S, dt)
+
+    def _dt_estimate_impl(self, S):
+        _, dtmin = self._qupdate(S)
+        return dtmin
+
+    def dt_estimate(self, S):
+        return self._estimate(S)
+
+    def _energies_impl(self, S):
+        """(internal, kinetic) energy integrals
+        (laghos_solver.cpp:640-697)."""
+        d = self.dim
+        et = S["e"].reshape((self.NE,) + (self.l1d,) * d)
+        e_q = top.eval_values(et, self.tables["L2B"], d).reshape(
+            self.NE, self.NQ)
+        ie = jnp.sum(self.rho0DetJ0w_j * e_q)
+        v_e = S["v"][:, self.gather].transpose(1, 0, 2)
+        vt = v_e.reshape((self.NE, d) + (self.nd1,) * d)
+        v_q = top.eval_values(vt, self.tables["H1B"], d).reshape(
+            self.NE, d, self.NQ)
+        ke = 0.5 * jnp.sum(self.rho0DetJ0w_j * jnp.sum(v_q**2, axis=1))
+        return ie, ke
+
+    def energies(self, S):
+        return self._energies(S)
+
+    def e_norm(self, S):
+        """||e||_2 of the L2 coefficient vector (the driver's |e| print,
+        laghos.cpp:794-825)."""
+        return float(jnp.sqrt(jnp.sum(S["e"] ** 2)))
+
+    def compute_density(self, S):
+        """Project current density rho = rho0 detJ0 / detJ onto L2
+        (laghos_solver.cpp:542-563)."""
+        d = self.dim
+        x_e = S["x"][:, self.gather].transpose(1, 0, 2)
+        J = qop.jacobians(x_e, self.tables["H1B"], self.tables["H1G"], d)
+        from .ops import smallmat
+
+        detJ = smallmat.det(J, d)
+        D = self.tables["W"][None, :] * detJ
+        M = mop.l2_mass_matrices(D, self.tables["L2B"], d)
+        # rhs_j = sum_q psi_j(q) rho0DetJ0w(q)
+        rt = self.rho0DetJ0w_j.reshape((self.NE,) + (self.nq1,) * d)
+        rhs = top.eval_transpose(rt, self.tables["L2B"].T, d).reshape(
+            self.NE, self.ld)
+        return jnp.linalg.solve(M, rhs)
+
+
+# Verner's 6(5) 8-stage tableau as used by mfem::RK6Solver.
+_RK6_A = [
+    [],
+    [1.0 / 6.0],
+    [4.0 / 75.0, 16.0 / 75.0],
+    [5.0 / 6.0, -8.0 / 3.0, 5.0 / 2.0],
+    [-165.0 / 64.0, 55.0 / 6.0, -425.0 / 64.0, 85.0 / 96.0],
+    [12.0 / 5.0, -8.0, 4015.0 / 612.0, -11.0 / 36.0, 88.0 / 255.0],
+    [-8263.0 / 15000.0, 124.0 / 75.0, -643.0 / 680.0, -81.0 / 250.0,
+     2484.0 / 10625.0, 0.0],
+    [3501.0 / 1720.0, -300.0 / 43.0, 297275.0 / 52632.0, -319.0 / 2322.0,
+     24068.0 / 84065.0, 0.0, 3850.0 / 26703.0],
+]
+_RK6_B = [3.0 / 40.0, 0.0, 875.0 / 2244.0, 23.0 / 72.0, 264.0 / 1955.0,
+          0.0, 125.0 / 11592.0, 43.0 / 616.0]

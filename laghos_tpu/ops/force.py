@@ -1,0 +1,65 @@
+"""Matrix-free force operator: the L2<->H1 coupling of momentum and energy.
+
+TPU-native re-design of the reference's ForcePAOperator
+(laghos_assembly.cpp:123-973).  The bilinear form is
+    F[i(vd), j] = sum_q  (dhat_gd phi_i)(q) * stressJinvT[gd, vd](q) * psi_j(q)
+with phi the H1 basis, psi the L2 basis and stressJinvT the per-point
+(stress . J^{-1})^T w detJ data produced by qupdate.  Both the action
+(energy -> momentum RHS) and its transpose (velocity -> energy RHS) are
+chains of sum-factorized batched contractions over the element axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import tensor
+
+
+def force_mult(e_b, sJit, tables, *, dim: int, ftz_eps2: float):
+    """F . e  ->  H1 E-vector (NE, dim, nd).
+
+    Mirrors ForceMult2D/3D (laghos_assembly.cpp:145-514) including the
+    flush-to-zero of tiny per-element velocity values with eps^2 of machine
+    epsilon (laghos_assembly.cpp:159-160, 278-292).
+    """
+    d = dim
+    H1Bt, H1Gt, L2B = tables["H1B"].T, tables["H1G"].T, tables["L2B"]
+    NE = e_b.shape[0]
+    l1d = L2B.shape[1]
+    nq1 = L2B.shape[0]
+    nd1 = H1Bt.shape[0]
+
+    et = e_b.reshape((NE,) + (l1d,) * d)
+    EQ = tensor.eval_values(et, L2B, d)            # (NE, q...)
+    NQ = nq1**d
+    sJ = sJit.reshape((NE,) + (nq1,) * d + (d, d))
+
+    comps = []
+    for vd in range(d):
+        acc = None
+        for gd in range(d):
+            term = tensor.grad_transpose(
+                EQ * sJ[..., gd, vd], H1Bt, H1Gt, gd, d)
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    out = jnp.stack(comps, axis=1).reshape(NE, d, nd1**d)
+    return jnp.where(jnp.abs(out) < ftz_eps2, 0.0, out)
+
+
+def force_mult_transpose(v_e, sJit, tables, *, dim: int):
+    """F^T . v  ->  L2 vector (NE, l2d)."""
+    d = dim
+    H1B, H1G, L2Bt = tables["H1B"], tables["H1G"], tables["L2B"].T
+    NE = v_e.shape[0]
+    nd1 = H1B.shape[1]
+    nq1 = H1B.shape[0]
+    l1d = L2Bt.shape[0]
+
+    vt = v_e.reshape((NE, d) + (nd1,) * d)
+    dV = tensor.eval_gradient(vt, H1B, H1G, d)     # (NE, vd, q..., gd)
+    sJ = sJit.reshape((NE,) + (nq1,) * d + (d, d))
+    # contract: eq_rhs(q) = sum_vd sum_gd dV[vd, q, gd] * sJ[q, gd, vd]
+    eq = jnp.einsum("ev...g,e...gv->e...", dV, sJ)
+    out = tensor.eval_transpose(eq, L2Bt, d)
+    return out.reshape(NE, l1d**d)

@@ -1,0 +1,130 @@
+"""Quadrature-point physics: EOS, artificial viscosity, dt estimate, stress.
+
+TPU-native re-design of the reference's QUpdate kernel
+(laghos_solver.cpp:1042-1168, QUpdateBody): one fused, fully vectorized
+computation over the (element, qpoint) axes instead of a per-thread device
+loop.  Everything is expressed as batched tensor algebra so XLA fuses the
+EOS/viscosity/stress pipeline into the surrounding contractions.
+
+Physics (ideal gas, cf. laghos_solver.hpp:151-160):
+    p  = (gamma - 1) rho e,    cs = sqrt(gamma (gamma-1) e)
+with the tensor artificial viscosity of Dobrev/Kolev/Rieben built from the
+eigen-decomposition of the symmetrized velocity gradient.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from . import smallmat, tensor
+
+
+def smooth_step_01(x, eps):
+    """C1 ramp 0->1 over [-eps, eps] (laghos_solver.cpp:798-805)."""
+    y = (x + eps) / (2.0 * eps)
+    y = jnp.clip(y, 0.0, 1.0)
+    return (3.0 - 2.0 * y) * y * y
+
+
+def qupdate(
+    x_e,            # (NE, dim, nd1^d) H1 positions, element layout
+    v_e,            # (NE, dim, nd1^d) H1 velocities
+    e_b,            # (NE, l1d^d) L2 energy (Bernstein coeffs)
+    gamma,          # (NE,)
+    rho0DetJ0w,     # (NE, NQ)
+    Jac0inv,        # (NE, NQ, d, d)
+    tables,         # dict of basis tables (H1B,H1G,L2B) + weights W
+    h0,             # scalar
+    *,
+    dim: int,
+    h1order: float,
+    cfl: float,
+    use_viscosity: bool,
+    use_vorticity: bool,
+):
+    """Returns (stressJinvT (NE,NQ,d,d) indexed [gd,vd], dt_est scalar).
+
+    The per-point dt estimate replicates laghos_solver.cpp:1135-1156,
+    including the detJ<0 -> dt_est=0 step-rejection trigger.
+    """
+    d = dim
+    NE = x_e.shape[0]
+    H1B, H1G, L2B, W = (tables["H1B"], tables["H1G"], tables["L2B"],
+                        tables["W"])
+    nd1 = H1B.shape[1]
+    nq1 = H1B.shape[0]
+    NQ = nq1**d
+    l1d = L2B.shape[1]
+
+    xt = x_e.reshape((NE, d) + (nd1,) * d)
+    vt = v_e.reshape((NE, d) + (nd1,) * d)
+    # J[e, a, q..., b] = dx_a/dxhat_b
+    Jt = tensor.eval_gradient(xt, H1B, H1G, d)     # (NE, d, q..., d)
+    J = jnp.moveaxis(Jt.reshape(NE, d, NQ, d), 1, 2)  # (NE, NQ, a, b)
+    detJ = smallmat.det(J, d)
+    Jinv = smallmat.inv(J, d, detJ)
+
+    et = e_b.reshape((NE,) + (l1d,) * d)
+    e_q = tensor.eval_values(et, L2B, d).reshape(NE, NQ)
+
+    R = rho0DetJ0w / (detJ * W[None, :])
+    E = jnp.maximum(0.0, e_q)
+    g = gamma[:, None]
+    P = (g - 1.0) * R * E
+    S = jnp.sqrt(g * (g - 1.0) * E)
+
+    eye = jnp.eye(d, dtype=x_e.dtype)
+    stress = -P[..., None, None] * eye
+
+    visc_coeff = jnp.zeros_like(R)
+    if use_viscosity:
+        dVt = tensor.eval_gradient(vt, H1B, H1G, d)
+        dV = jnp.moveaxis(dVt.reshape(NE, d, NQ, d), 1, 2)  # dv_a/dxhat_b
+        sgrad = jnp.einsum("...ab,...bk->...ak", dV, Jinv)  # physical grad
+
+        vorticity_coeff = 1.0
+        if use_vorticity:
+            grad_norm = jnp.sqrt(jnp.sum(sgrad * sgrad, axis=(-2, -1)))
+            div_v = jnp.abs(jnp.einsum("...aa->...", sgrad))
+            vorticity_coeff = jnp.where(grad_norm > 0.0,
+                                        div_v / jnp.maximum(grad_norm, 1e-300),
+                                        1.0)
+
+        sym = 0.5 * (sgrad + jnp.swapaxes(sgrad, -2, -1))
+        mu, compr_dir = smallmat.sym_eig_smallest(sym, d)
+        Jpi = jnp.einsum("...ab,...bk->...ak", J, Jac0inv)
+        ph_dir = jnp.einsum("...ab,...b->...a", Jpi, compr_dir)
+        h = (h0 * jnp.linalg.norm(ph_dir, axis=-1)
+             / jnp.linalg.norm(compr_dir, axis=-1))
+        visc_coeff = 2.0 * R * h * h * jnp.abs(mu)
+        eps = 1e-12
+        visc_coeff = visc_coeff + (
+            0.5 * R * h * S * vorticity_coeff
+            * (1.0 - smooth_step_01(mu - 2.0 * eps, eps)))
+        stress = stress + visc_coeff[..., None, None] * sym
+
+    sv = smallmat.min_singular_value(J, d)
+    h_min = sv / h1order
+    ih_min = 1.0 / h_min
+    idt = S * ih_min + 2.5 * visc_coeff * ih_min * ih_min / R
+    inf = jnp.asarray(jnp.inf, dtype=x_e.dtype)
+    dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, 1.0), inf)
+    dtq = jnp.where(detJ < 0.0, 0.0, dtq)
+    dt_est = jnp.min(dtq)
+
+    # stressJinvT[gd, vd] = sum_k stress[vd,k] Jinv[gd,k] * w * detJ
+    sJit = jnp.einsum("...vk,...gk->...gv", stress, Jinv)
+    sJit = sJit * (W[None, :] * detJ)[..., None, None]
+    return sJit, dt_est
+
+
+def jacobians(x_e, H1B, H1G, dim):
+    """Current-configuration Jacobians at qpoints: (NE, NQ, a, b)."""
+    NE = x_e.shape[0]
+    nd1 = H1B.shape[1]
+    nq1 = H1B.shape[0]
+    xt = x_e.reshape((NE, dim) + (nd1,) * dim)
+    Jt = tensor.eval_gradient(xt, H1B, H1G, dim)
+    return jnp.moveaxis(Jt.reshape(NE, dim, nq1**dim, dim), 1, 2)

@@ -1,0 +1,151 @@
+"""Vectorized small dense-matrix kernels (det, inverse, sym-eig, min SV).
+
+TPU-native equivalents of the mfem::kernels device helpers used by the
+reference's quadrature-point physics (SURVEY M10, laghos_solver.cpp:
+1078-1158).  All functions operate on trailing (d, d) axes with arbitrary
+batch dims, in closed form (no iterative LAPACK), so they fuse into the
+surrounding jitted kernel.
+
+Matrix index convention: A[..., a, b] with a the row.  For Jacobians,
+J[..., a, b] = dx_a/dxhat_b.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def det(J: jnp.ndarray, d: int) -> jnp.ndarray:
+    if d == 1:
+        return J[..., 0, 0]
+    if d == 2:
+        return (J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0])
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    p, q, r = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    u, v, w = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    return a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+
+
+def inv(J: jnp.ndarray, d: int, detJ=None) -> jnp.ndarray:
+    if detJ is None:
+        detJ = det(J, d)
+    idet = 1.0 / detJ
+    if d == 1:
+        return idet[..., None, None]
+    if d == 2:
+        r0 = jnp.stack([J[..., 1, 1], -J[..., 0, 1]], axis=-1)
+        r1 = jnp.stack([-J[..., 1, 0], J[..., 0, 0]], axis=-1)
+        return jnp.stack([r0, r1], axis=-2) * idet[..., None, None]
+    # 3x3 adjugate
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    p, q, r = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    u, v, w = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    A = jnp.stack(
+        [
+            jnp.stack([q * w - r * v, c * v - b * w, b * r - c * q], -1),
+            jnp.stack([r * u - p * w, a * w - c * u, c * p - a * r], -1),
+            jnp.stack([p * v - q * u, b * u - a * v, a * q - b * p], -1),
+        ],
+        axis=-2,
+    )
+    return A * idet[..., None, None]
+
+
+def _eig2_smallest(A: jnp.ndarray):
+    """Smallest eigenvalue + its eigenvector of symmetric 2x2.
+
+    Faithful to mfem::kernels::CalcEigenvalues<2> /
+    internal::Eigensystem2S (Parlett's rotation), including the
+    d12 == 0 tie-break with vec = (1, 0) when A[0,0] <= A[1,1].
+    """
+    d1, d2 = A[..., 0, 0], A[..., 1, 1]
+    d12 = A[..., 0, 1]
+    sqrt_1_eps = jnp.sqrt(1.0 / jnp.finfo(jnp.float64).eps)
+    zeta = (d2 - d1) / (2.0 * jnp.where(d12 == 0.0, 1.0, d12))
+    azeta = jnp.abs(zeta)
+    t_small = jnp.sign(zeta) / (azeta + jnp.sqrt(1.0 + zeta * zeta))
+    t_small = jnp.where(zeta == 0.0, 1.0, t_small)  # copysign(.,0)=+
+    t_big = jnp.sign(zeta) * (0.5 / azeta)
+    t = jnp.where(azeta < sqrt_1_eps, t_small, t_big)
+    c = jnp.sqrt(1.0 / (1.0 + t * t))
+    s = c * t
+    shift = t * d12
+    e1 = d1 - shift
+    e2 = d2 + shift
+    # d12 == 0 -> identity rotation
+    c = jnp.where(d12 == 0.0, 1.0, c)
+    s = jnp.where(d12 == 0.0, 0.0, s)
+    e1 = jnp.where(d12 == 0.0, d1, e1)
+    e2 = jnp.where(d12 == 0.0, d2, e2)
+    first = e1 <= e2
+    lam_min = jnp.where(first, e1, e2)
+    vx = jnp.where(first, c, s)
+    vy = jnp.where(first, -s, c)
+    return lam_min, jnp.stack([vx, vy], axis=-1)
+
+
+def _eig3_smallest(A: jnp.ndarray):
+    """Smallest eigenvalue + eigenvector of symmetric 3x3 (closed form).
+
+    Eigenvalues by the trigonometric method; the eigenvector by the
+    largest cross product of rows of (A - lam I), falling back to
+    (1, 0, 0) for (near-)isotropic matrices — matching MFEM's identity
+    eigenvectors for the zero/diagonal-degenerate case, which is the
+    state at t=0 when v = 0 (laghos_solver.cpp:1113).
+    """
+    q = (A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]) / 3.0
+    eye = jnp.eye(3, dtype=A.dtype)
+    B = A - q[..., None, None] * eye
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(p2)
+    scale = jnp.maximum(jnp.abs(A).max(axis=(-2, -1)), 1e-300)
+    degenerate = p <= 1e-14 * scale
+    psafe = jnp.where(degenerate, 1.0, p)
+    r = det(B / psafe[..., None, None], 3) / 2.0
+    r = jnp.clip(r, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_max = q + 2.0 * psafe * jnp.cos(phi)
+    lam_min = q + 2.0 * psafe * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_min = jnp.where(degenerate, q, lam_min)
+
+    C = A - lam_min[..., None, None] * eye
+    r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
+    cands = jnp.stack(
+        [jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)], axis=-2
+    )
+    norms = jnp.sum(cands * cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    vec = jnp.take_along_axis(
+        cands, best[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    nbest = jnp.sqrt(jnp.max(norms, axis=-1))
+    bad = (nbest <= 1e-28 * scale * scale) | degenerate
+    e0 = jnp.zeros_like(vec).at[..., 0].set(1.0)
+    vec = jnp.where(bad[..., None], e0, vec)
+    return lam_min, vec
+
+
+def sym_eig_smallest(A: jnp.ndarray, d: int):
+    """(lambda_min, eigenvector) of a symmetric dxd matrix batch."""
+    if d == 1:
+        return A[..., 0, 0], jnp.ones_like(A[..., 0, :])
+    if d == 2:
+        return _eig2_smallest(A)
+    return _eig3_smallest(A)
+
+
+def min_singular_value(J: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Smallest singular value of J (mfem kernels::CalcSingularvalue)."""
+    if d == 1:
+        return jnp.abs(J[..., 0, 0])
+    JtJ = jnp.einsum("...ka,...kb->...ab", J, J)
+    if d == 2:
+        t = JtJ[..., 0, 0] + JtJ[..., 1, 1]
+        dt = det(JtJ, 2)
+        disc = jnp.sqrt(jnp.maximum((t / 2.0) ** 2 - dt, 0.0))
+        lam_max = t / 2.0 + disc
+        lam_min = jnp.where(lam_max > 0.0, dt / jnp.maximum(lam_max, 1e-300),
+                            0.0)
+        return jnp.sqrt(jnp.maximum(lam_min, 0.0))
+    lam_min, _ = _eig3_smallest(JtJ)
+    return jnp.sqrt(jnp.maximum(lam_min, 0.0))

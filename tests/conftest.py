@@ -2,7 +2,7 @@ import os
 
 # Run the test-suite on a simulated multi-device CPU mesh so sharding tests
 # exercise real partitioning without TPU hardware (SURVEY §4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
