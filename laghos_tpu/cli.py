@@ -1,0 +1,165 @@
+"""Command-line driver mirroring the reference Laghos CLI.
+
+Flag names follow laghos.cpp:181-278 so reference command lines translate
+1:1, e.g.:
+    python -m laghos_tpu -p 0 -m data/square01_quad.mesh -rs 3 -tf 0.75 -pa
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="laghos_tpu", description="TPU-native Lagrangian hydrodynamics")
+    p.add_argument("-dim", "--dimension", type=int, default=3, dest="dim")
+    p.add_argument("-m", "--mesh", default="default", dest="mesh")
+    p.add_argument("-nx", "--xelems", type=int, default=2)
+    p.add_argument("-ny", "--yelems", type=int, default=2)
+    p.add_argument("-nz", "--zelems", type=int, default=2)
+    p.add_argument("-E0", "--blast-energy", type=float, default=1.0,
+                   dest="blast_energy")
+    p.add_argument("-Sx", "--xwidth", type=float, default=1.0)
+    p.add_argument("-Sy", "--ywidth", type=float, default=1.0)
+    p.add_argument("-Sz", "--zwidth", type=float, default=1.0)
+    p.add_argument("-rs", "--refine-serial", type=int, default=2,
+                   dest="rs")
+    p.add_argument("-rp", "--refine-parallel", type=int, default=0,
+                   dest="rp")
+    p.add_argument("-epm", "--elem-per-mpi", type=int, default=0, dest="epm")
+    p.add_argument("-p", "--problem", type=int, default=1, dest="problem")
+    p.add_argument("-ok", "--order-kinematic", type=int, default=2,
+                   dest="order_v")
+    p.add_argument("-ot", "--order-thermo", type=int, default=1,
+                   dest="order_e")
+    p.add_argument("-oq", "--order-intrule", type=int, default=-1,
+                   dest="order_q")
+    p.add_argument("-s", "--ode-solver", type=int, default=4,
+                   dest="ode_solver")
+    p.add_argument("-tf", "--t-final", type=float, default=0.6,
+                   dest="t_final")
+    p.add_argument("-cfl", "--cfl", type=float, default=0.5)
+    p.add_argument("-cgt", "--cg-tol", type=float, default=1e-8,
+                   dest="cg_tol")
+    p.add_argument("-ftz", "--ftz-tol", type=float, default=0.0,
+                   dest="ftz_tol")
+    p.add_argument("-dtol", "--delta-tol", type=float, default=1e-12,
+                   dest="delta_tol")
+    p.add_argument("-cgm", "--cg-max-steps", type=int, default=300,
+                   dest="cg_max_iter")
+    p.add_argument("-ms", "--max-steps", type=int, default=-1,
+                   dest="max_steps")
+    p.add_argument("-pa", "--partial-assembly", action="store_true",
+                   default=True, dest="pa")
+    p.add_argument("-fa", "--full-assembly", action="store_false",
+                   dest="pa")
+    p.add_argument("-iv", "--impose-viscosity", action="store_true",
+                   dest="impose_visc")
+    p.add_argument("-vs", "--visualization-steps", type=int, default=5,
+                   dest="vis_steps")
+    p.add_argument("-print", "--print", action="store_true", dest="gfprint")
+    p.add_argument("-k", "--outputfilename", default="results/Laghos",
+                   dest="basename")
+    p.add_argument("-d", "--device", default=None,
+                   help="jax platform (cpu/tpu/axon); default: jax default")
+    p.add_argument("-chk", "--checks", action="store_true", dest="check")
+    p.add_argument("-err", "--exact-error", action="store_true",
+                   dest="check_exact_sedov")
+    p.add_argument("-f", "--fom", action="store_true", dest="fom")
+    p.add_argument("-nd", "--n-devices", type=int, default=1,
+                   dest="n_devices",
+                   help="shard the element axis over this many devices")
+    p.add_argument("--dtype", default="f64", choices=["f64", "f32"])
+    p.add_argument("--checkpoint", default=None,
+                   help="write an NPZ checkpoint of (S, t, dt, step) here "
+                        "every vis_steps")
+    p.add_argument("--restore", default=None,
+                   help="resume from an NPZ checkpoint")
+    return p
+
+
+def make_mesh(args):
+    from .fem import mesh as fmesh
+
+    if args.mesh != "default":
+        m = fmesh.load_mfem_mesh(args.mesh)
+        for _ in range(args.rs):
+            m = fmesh.uniform_refine(m)
+    else:
+        dim = args.dim
+        n = (args.nx, args.ny, args.nz)
+        sizes = (args.xwidth, args.ywidth, args.zwidth)
+        m = fmesh.cartesian(dim, n, sizes)
+        for _ in range(args.rs):
+            m = fmesh.uniform_refine(m)
+    for _ in range(args.rp):
+        m = fmesh.uniform_refine(m)
+    return m
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.device:
+        os.environ["JAX_PLATFORMS"] = args.device
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import driver
+    from .hydro import Hydro, Options
+    from .timing import print_timing
+
+    m = make_mesh(args)
+    print(f"Number of zones in the serial mesh: {m.num_elems}")
+
+    opt = Options(
+        problem=args.problem, order_v=args.order_v, order_e=args.order_e,
+        order_q=args.order_q, cfl=args.cfl, cg_tol=args.cg_tol,
+        cg_max_iter=args.cg_max_iter, ftz_tol=args.ftz_tol,
+        p_assembly=args.pa, impose_visc=args.impose_visc,
+        blast_energy=args.blast_energy, delta_tol=args.delta_tol,
+        ode_solver=args.ode_solver)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    h = Hydro(m, opt, dtype=dtype)
+    print(f"Number of kinematic (position, velocity) dofs: "
+          f"{h.ndof * m.dim}")
+    print(f"Number of specific internal energy dofs: {h.NE * h.ld}")
+
+    res = driver.run(
+        h, t_final=args.t_final, max_steps=args.max_steps,
+        vis_steps=args.vis_steps, verbose=True, timing=args.fom)
+
+    rk_stages = {1: 1, 2: 2, 3: 3, 4: 4, 6: 8, 7: 2}[args.ode_solver]
+    steps = res.steps * rk_stages
+    if res.timing_data is not None:
+        print_timing(res.timing_data, steps=steps, H1_dofs=h.ndof * m.dim,
+                     L2_dofs=h.NE * h.ld, NQ=h.NQ, NE=h.NE,
+                     p_assembly=h.p_assembly, dim=m.dim, fom_table=args.fom)
+
+    print("")
+    print(f"Energy  diff: {abs(res.energy_init - res.energy_final):.2e}")
+
+    if args.problem in (0, 4):
+        _print_velocity_errors(h, res)
+
+    if args.check_exact_sedov:
+        from .sedov import sedov_density_l2_error
+
+        err = sedov_density_l2_error(h, res, args)
+        print(f"Density L2 error: {err}")
+    return res
+
+
+def _print_velocity_errors(h, res):
+    # Exact velocity is steady for problems 0 and 4 (laghos.cpp:970-983);
+    # full quadrature-based error norms land with the verification module.
+    pass
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from .hydro import Hydro
+from .timing import TimingData
 
 
 @dataclasses.dataclass
@@ -31,6 +32,7 @@ class RunResult:
     quad_steps: int
     norms: dict          # step -> |e| at the steps where it was sampled
     timings: dict
+    timing_data: Optional[TimingData] = None
 
 
 def run(
@@ -41,6 +43,7 @@ def run(
     on_vis: Optional[Callable] = None,
     check_steps: tuple = (),
     verbose: bool = False,
+    timing: bool = False,
 ) -> RunResult:
     S = hydro.S0
     ie, ke = hydro.energies(S)
@@ -55,6 +58,7 @@ def run(
     l2_iters = 0
     quad_steps = 0
     norms = {}
+    tim = TimingData() if timing else None
     t0 = time.perf_counter()
     count_stage1 = False  # stage-1 qdata is memoized except after rollback
 
@@ -66,7 +70,11 @@ def run(
             last_step = True
         S_old, t_old = S, t
 
-        S_new, dt_est, (h1it, l2it) = hydro.advance(S, dt, count_stage1)
+        if timing:
+            S_new, dt_est, (h1it, l2it) = hydro.advance_timed(
+                S, dt, tim, count_stage1)
+        else:
+            S_new, dt_est, (h1it, l2it) = hydro.advance(S, dt, count_stage1)
         count_stage1 = False
         steps += 1
         dt_est = float(dt_est)
@@ -117,4 +125,5 @@ def run(
         quad_steps=quad_steps,
         norms=norms,
         timings={"total": wall},
+        timing_data=tim,
     )

@@ -206,6 +206,14 @@ class Hydro:
         self._advance_cache = {}
         self._estimate = jax.jit(self._dt_estimate_impl)
         self._energies = jax.jit(self._energies_impl)
+        # phase-jitted pieces for the FOM-instrumented path
+        self._jq = jax.jit(self._qupdate)
+        self._jforce1 = jax.jit(self._force_rhs_raw)
+        self._jprep_v = jax.jit(self._prep_velocity_rhs)
+        self._jcg_v = jax.jit(self._cg_velocity)
+        self._jfT = jax.jit(self._force_transpose)
+        self._jsrc = jax.jit(self._taylor_source)
+        self._jcg_e = jax.jit(self._cg_energy)
 
     # -------------------------------------------------- setup helpers ----
     def _nodal_to_bernstein_nd(self, f_nodal: np.ndarray, T1: np.ndarray):
@@ -307,35 +315,49 @@ class Hydro:
             dim=d, h1order=float(self.opt.order_v), cfl=self.opt.cfl,
             use_viscosity=self.use_visc, use_vorticity=self.use_vort)
 
-    def _solve_velocity(self, sJit):
+    def _force_rhs_raw(self, sJit):
+        """F . 1 scattered to the H1 L-vector (the sw_force-timed part of
+        SolveVelocity, laghos_solver.cpp:354)."""
         d = self.dim
         Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
                               ftz_eps2=self.ftz_eps2)     # (NE, d, nd)
-        rhs = -mop.e_to_l(jnp.swapaxes(Fone, 0, 1), self.gather, self.ndof)
+        return mop.e_to_l(jnp.swapaxes(Fone, 0, 1), self.gather, self.ndof)
+
+    def _prep_velocity_rhs(self, raw):
+        """rhs.Neg(), RT gravity source, essential-dof elimination."""
+        rhs = -raw
         if self.rt_rhs is not None:
             rhs = rhs + self.rt_rhs
-        rhs = jnp.where(self.ess_mask_j, 0.0, rhs)
+        return jnp.where(self.ess_mask_j, 0.0, rhs)
 
-        def apply_A(u):
-            y = mop.h1_mass_apply(u, self.gather, self.ndof, self.massD,
-                                  self.tables["H1B"], d)
-            return jnp.where(self.ess_mask_j, 0.0, y)
+    def _h1_apply_bc(self, u):
+        d = self.dim
+        y = mop.h1_mass_apply(u, self.gather, self.ndof, self.massD,
+                              self.tables["H1B"], d)
+        return jnp.where(self.ess_mask_j, 0.0, y)
 
+    def _cg_velocity(self, rhs):
+        d = self.dim
         if self.p_assembly:
-            res = cg(apply_A, rhs, self.opt.cg_tol, self.opt.cg_max_iter,
+            res = cg(self._h1_apply_bc, rhs, self.opt.cg_tol,
+                     self.opt.cg_max_iter,
                      precond=lambda r: r * self.h1_dinv[None, :])
             return res.x, jnp.sum(res.iters)
         # FA: one coupled CG over all components (laghos_solver.cpp:400-439)
         flat = rhs.reshape(1, -1)
 
         def apply_flat(u):
-            return apply_A(u.reshape(d, -1)).reshape(1, -1)
+            return self._h1_apply_bc(u.reshape(d, -1)).reshape(1, -1)
 
         dinv = jnp.broadcast_to(self.h1_dinv[None, :], (d, self.ndof))
         dinv = jnp.where(self.ess_mask_j, 1.0, dinv).reshape(1, -1)
         res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
                  precond=lambda r: r * dinv)
         return res.x.reshape(d, -1), jnp.sum(res.iters)
+
+    def _solve_velocity(self, sJit):
+        return self._cg_velocity(self._prep_velocity_rhs(
+            self._force_rhs_raw(sJit)))
 
     def _taylor_source(self, S):
         """(f, psi) with the Taylor-Green forcing on the current mesh
@@ -358,12 +380,13 @@ class Hydro:
         out = top.eval_transpose(it, self.tables["L2B"].T, d)
         return out.reshape(self.NE, self.ld)
 
-    def _solve_energy(self, S, sJit, v):
+    def _force_transpose(self, sJit, v):
         d = self.dim
         v_e = v[:, self.gather].transpose(1, 0, 2)
-        e_rhs = fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
-        if self.source == 1:
-            e_rhs = e_rhs + self._taylor_source(S)
+        return fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
+
+    def _cg_energy(self, e_rhs):
+        d = self.dim
         if self.p_assembly:
             def apply_A(u):
                 ue = u.reshape(self.NE, self.ld)
@@ -377,6 +400,12 @@ class Hydro:
         de = jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
         return de, jnp.asarray(self.NE)
 
+    def _solve_energy(self, S, sJit, v):
+        e_rhs = self._force_transpose(sJit, v)
+        if self.source == 1:
+            e_rhs = e_rhs + self._taylor_source(S)
+        return self._cg_energy(e_rhs)
+
     def _mult(self, S):
         """dS/dt (laghos_solver.cpp:308-327). Returns (dS, dtmin, stats)."""
         sJit, dtmin = self._qupdate(S)
@@ -385,9 +414,57 @@ class Hydro:
         dS = {"x": S["v"], "v": dv, "e": de}
         return dS, dtmin, (h1it, l2it)
 
+    def _mult_timed(self, S, tim):
+        """Phase-timed RHS evaluation with device fences, for FOM runs
+        (timing semantics of laghos_solver.cpp:349-489)."""
+        from .timing import block
+
+        with tim.phase("qdata"):
+            sJit, dtmin = block(self._jq(S))
+        tim.quad_tstep += self.NE
+        with tim.phase("force"):
+            raw = block(self._jforce1(sJit))
+        B = self._jprep_v(raw)
+        with tim.phase("cgH1"):
+            dv, h1it = block(self._jcg_v(B))
+        tim.H1iter += int(h1it)
+        with tim.phase("force"):
+            e_rhs = block(self._jfT(sJit, S["v"]))
+        if self.source == 1:
+            e_rhs = e_rhs + self._jsrc(S)
+        with tim.phase("cgL2"):
+            de, l2it = block(self._jcg_e(e_rhs))
+        tim.L2iter += int(l2it)
+        dS = {"x": S["v"], "v": dv, "e": de}
+        return dS, dtmin, (h1it, l2it)
+
+    def _rk2avg_stage_timed(self, Scur, v0, dt, tim):
+        from .timing import block
+
+        with tim.phase("qdata"):
+            sJit, dtm = block(self._jq(Scur))
+        tim.quad_tstep += self.NE
+        with tim.phase("force"):
+            raw = block(self._jforce1(sJit))
+        B = self._jprep_v(raw)
+        with tim.phase("cgH1"):
+            dv, h1it = block(self._jcg_v(B))
+        tim.H1iter += int(h1it)
+        V = v0 + 0.5 * dt * dv
+        with tim.phase("force"):
+            e_rhs = block(self._jfT(sJit, V))
+        if self.source == 1:
+            e_rhs = e_rhs + self._jsrc(Scur)
+        with tim.phase("cgL2"):
+            de, l2it = block(self._jcg_e(e_rhs))
+        tim.L2iter += int(l2it)
+        return {"x": V, "v": dv, "e": de}, dtm, (h1it, l2it)
+
     # -------------------------------------------------- steppers ---------
-    def _step(self, S, dt, count_stage1: bool):
+    def _step(self, S, dt, count_stage1: bool, mult=None, rk2avg_stage=None):
         """One RK step; returns (S_new, dt_min_of_counted_stages, stats)."""
+        if mult is None:
+            mult = self._mult
         inf = jnp.asarray(jnp.inf, self.dtype)
         h1tot = jnp.asarray(0)
         l2tot = jnp.asarray(0)
@@ -405,75 +482,82 @@ class Hydro:
 
         s = self.opt.ode_solver
         if s == 7:
-            S_new = self._rk2avg(S, dt, count_stage1, acc)
+            S_new = self._rk2avg(S, dt, count_stage1, acc, rk2avg_stage)
         elif s == 1:
-            k1, dtm, st = self._mult(S)
+            k1, dtm, st = mult(S)
             acc(dtm, st, count_stage1)
             S_new = ax(S, dt, k1)
         elif s == 2:
             a = 0.5
             b = 1.0 / (2.0 * a)
-            k1, dtm, st = self._mult(S)
+            k1, dtm, st = mult(S)
             acc(dtm, st, count_stage1)
             y = ax(S, a * dt, k1)
-            k2, dtm, st = self._mult(y)
+            k2, dtm, st = mult(y)
             acc(dtm, st, True)
             S_new = ax(ax(S, (1.0 - b) * dt, k1), b * dt, k2)
         elif s == 3:
-            k1, dtm, st = self._mult(S)
+            k1, dtm, st = mult(S)
             acc(dtm, st, count_stage1)
             y = ax(S, dt, k1)
-            k2, dtm, st = self._mult(y)
+            k2, dtm, st = mult(y)
             acc(dtm, st, True)
             y = jax.tree_util.tree_map(
                 lambda s0, yy, kk: 0.75 * s0 + 0.25 * (yy + dt * kk),
                 S, y, k2)
-            k3, dtm, st = self._mult(y)
+            k3, dtm, st = mult(y)
             acc(dtm, st, True)
             S_new = jax.tree_util.tree_map(
                 lambda s0, yy, kk: (s0 + 2.0 * (yy + dt * kk)) / 3.0,
                 S, y, k3)
         elif s == 4:
-            k1, dtm, st = self._mult(S)
+            k1, dtm, st = mult(S)
             acc(dtm, st, count_stage1)
             y = ax(S, dt / 2, k1)
-            k2, dtm, st = self._mult(y)
+            k2, dtm, st = mult(y)
             acc(dtm, st, True)
             y = ax(S, dt / 2, k2)
-            k3, dtm, st = self._mult(y)
+            k3, dtm, st = mult(y)
             acc(dtm, st, True)
             y = ax(S, dt, k3)
-            k4, dtm, st = self._mult(y)
+            k4, dtm, st = mult(y)
             acc(dtm, st, True)
             S_new = jax.tree_util.tree_map(
                 lambda s0, a1, a2, a3, a4:
                 s0 + dt / 6.0 * (a1 + 2 * a2 + 2 * a3 + a4),
                 S, k1, k2, k3, k4)
         elif s == 6:
-            S_new = self._rk6(S, dt, count_stage1, acc)
+            S_new = self._rk6(S, dt, count_stage1, acc, mult)
         else:
             raise ValueError(f"unknown ode solver {s}")
         return S_new, dtacc, (h1tot, l2tot)
 
-    def _rk2avg(self, S, dt, count_stage1, acc):
+    def _rk2avg(self, S, dt, count_stage1, acc, stage_fn=None):
         """Energy-conserving two-stage average scheme
         (laghos_solver.cpp:1447-1487)."""
         v0 = S["v"]
 
-        def stage(Scur, counted):
+        def default_stage(Scur):
             sJit, dtm = self._qupdate(Scur)
             dv, h1it = self._solve_velocity(sJit)
             V = v0 + 0.5 * dt * dv
             de, l2it = self._solve_energy(Scur, sJit, V)
-            acc(dtm, (h1it, l2it), counted)
-            return {"x": V, "v": dv, "e": de}
+            return {"x": V, "v": dv, "e": de}, dtm, (h1it, l2it)
+
+        def stage(Scur, counted):
+            if stage_fn is None:
+                dS, dtm, st = default_stage(Scur)
+            else:
+                dS, dtm, st = stage_fn(Scur, v0, dt)
+            acc(dtm, st, counted)
+            return dS
 
         dS = stage(S, count_stage1)
         Smid = jax.tree_util.tree_map(lambda a, b: a + 0.5 * dt * b, S, dS)
         dS = stage(Smid, True)
         return jax.tree_util.tree_map(lambda a, b: a + dt * b, S, dS)
 
-    def _rk6(self, S, dt, count_stage1, acc):
+    def _rk6(self, S, dt, count_stage1, acc, mult):
         """Verner's 8-stage 6th-order method (mfem RK6Solver tableau)."""
         a = _RK6_A
         b = _RK6_B
@@ -484,7 +568,7 @@ class Hydro:
                 if a[i][j] != 0.0:
                     y = jax.tree_util.tree_map(
                         lambda u, v, c=a[i][j]: u + dt * c * v, y, ks[j])
-            k, dtm, st = self._mult(y)
+            k, dtm, st = mult(y)
             acc(dtm, st, count_stage1 if i == 0 else True)
             ks.append(k)
         out = S
@@ -510,6 +594,20 @@ class Hydro:
                 return S_new, jnp.minimum(dtacc, dt_final), stats
             self._advance_cache[key] = jax.jit(f)
         return self._advance_cache[key](S, dt)
+
+    def advance_timed(self, S, dt, tim, count_stage1=False):
+        """Like `advance` but with per-phase stopwatches (FOM mode)."""
+        from .timing import block
+
+        S_new, dtacc, stats = self._step(
+            S, dt, count_stage1,
+            mult=lambda s: self._mult_timed(s, tim),
+            rk2avg_stage=lambda s, v0, dtt: self._rk2avg_stage_timed(
+                s, v0, dtt, tim))
+        with tim.phase("qdata"):
+            _, dt_final = block(self._jq(S_new))
+        tim.quad_tstep += self.NE
+        return S_new, jnp.minimum(dtacc, dt_final), stats
 
     def _dt_estimate_impl(self, S):
         _, dtmin = self._qupdate(S)
