@@ -130,9 +130,16 @@ def main(argv=None):
           f"{h.ndof * m.dim}")
     print(f"Number of specific internal energy dofs: {h.NE * h.ld}")
 
+    S_init, t0, dt0, st0 = None, 0.0, None, 1
+    if args.restore:
+        from .checkpoint import load
+
+        S_init, t0, dt0, st0 = load(args.restore)
     res = driver.run(
         h, t_final=args.t_final, max_steps=args.max_steps,
-        vis_steps=args.vis_steps, verbose=True, timing=args.fom)
+        vis_steps=args.vis_steps, verbose=True, timing=args.fom,
+        S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
+        checkpoint_path=args.checkpoint)
 
     rk_stages = {1: 1, 2: 2, 3: 3, 4: 4, 6: 8, 7: 2}[args.ode_solver]
     steps = res.steps * rk_stages
@@ -150,7 +157,7 @@ def main(argv=None):
     if args.check_exact_sedov:
         from .sedov import sedov_density_l2_error
 
-        err = sedov_density_l2_error(h, res, args)
+        err = sedov_density_l2_error(h, res.S, res.t, args.blast_energy)
         print(f"Density L2 error: {err}")
     return res
 

@@ -33,6 +33,7 @@ class RunResult:
     norms: dict          # step -> |e| at the steps where it was sampled
     timings: dict
     timing_data: Optional[TimingData] = None
+    S: Optional[dict] = None  # final state
 
 
 def run(
@@ -44,16 +45,21 @@ def run(
     check_steps: tuple = (),
     verbose: bool = False,
     timing: bool = False,
+    S_init=None,
+    t_init: float = 0.0,
+    dt_init: Optional[float] = None,
+    step_init: int = 1,
+    checkpoint_path: Optional[str] = None,
 ) -> RunResult:
-    S = hydro.S0
+    S = hydro.S0 if S_init is None else S_init
     ie, ke = hydro.energies(S)
     energy_init = float(ie) + float(ke)
 
-    t = 0.0
-    dt = float(hydro.dt_estimate(S))
+    t = t_init
+    dt = dt_init if dt_init is not None else float(hydro.dt_estimate(S))
     last_step = False
     steps = 0
-    ti = 1
+    ti = step_init
     h1_iters = 0
     l2_iters = 0
     quad_steps = 0
@@ -109,6 +115,10 @@ def run(
                       f"\t|e| = {en:.10e}")
             if on_vis is not None:
                 on_vis(ti, t, S)
+            if checkpoint_path is not None:
+                from . import checkpoint
+
+                checkpoint.save(checkpoint_path, S, t, dt, ti)
         ti += 1
 
     wall = time.perf_counter() - t0
@@ -126,4 +136,5 @@ def run(
         norms=norms,
         timings={"total": wall},
         timing_data=tim,
+        S=S,
     )

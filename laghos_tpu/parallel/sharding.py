@@ -1,0 +1,68 @@
+"""Domain decomposition over a TPU device mesh.
+
+The reference's only distributed strategy is SPMD domain decomposition of
+the element set over MPI ranks with halo exchange of shared H1 dofs and
+allreduce scalars (SURVEY §2.4.1, §2.5).  The TPU-native equivalent here:
+
+  * a 1D `jax.sharding.Mesh` with axis "dd",
+  * every element-batched array (leading NE axis) sharded over "dd",
+  * H1 L-vectors sharded over the dof axis,
+  * the gather/scatter between them compiled by GSPMD into the
+    appropriate collectives (the halo exchange), and CG dot products /
+    dt-min reductions becoming cross-device psum/pmin automatically.
+
+Because the whole step is one jitted program, XLA sees the full
+computation and fuses/overlaps communication — no hand-written MPI
+schedule to replicate.  (A shard_map + ppermute structured-halo variant is
+the planned performance upgrade once profiles justify it.)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def device_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dd",))
+
+
+def shard_hydro(hydro, mesh: Mesh):
+    """Re-place a Hydro instance's arrays over the device mesh in-place.
+
+    Element-batched data shards over "dd"; basis tables and small vectors
+    replicate; H1 L-vectors shard on the dof axis.  Subsequent jitted
+    calls compile as multi-device SPMD programs.
+    """
+    elem = NamedSharding(mesh, P("dd"))
+    elem2 = NamedSharding(mesh, P("dd", None))
+    elem3 = NamedSharding(mesh, P("dd", None, None))
+    elem4 = NamedSharding(mesh, P("dd", None, None, None))
+    repl = NamedSharding(mesh, P())
+    lvec = NamedSharding(mesh, P(None, "dd"))
+    dof = NamedSharding(mesh, P("dd"))
+
+    put = jax.device_put
+    hydro.gather = put(hydro.gather, elem2)
+    hydro.gamma_j = put(hydro.gamma_j, elem)
+    hydro.rho0DetJ0w_j = put(hydro.rho0DetJ0w_j, elem2)
+    hydro.Jac0inv_j = put(hydro.Jac0inv_j, elem4)
+    hydro.massD = put(hydro.massD, elem2)
+    hydro.one_l2 = put(hydro.one_l2, elem2)
+    hydro.Me_inv = put(hydro.Me_inv, elem3)
+    hydro.tables = {k: put(v, repl) for k, v in hydro.tables.items()}
+    hydro.h1_dinv = put(hydro.h1_dinv, dof)
+    hydro.ess_mask_j = put(hydro.ess_mask_j, lvec)
+    if hydro.rt_rhs is not None:
+        hydro.rt_rhs = put(hydro.rt_rhs, lvec)
+    hydro.S0 = {
+        "x": put(hydro.S0["x"], lvec),
+        "v": put(hydro.S0["v"], lvec),
+        "e": put(hydro.S0["e"], elem2),
+    }
+    hydro.mesh_devices = mesh
+    return hydro

@@ -50,7 +50,8 @@ def run_check(problem, dim, pa=True, max_steps=None, verbose=True):
                   cg_tol=1e-14, p_assembly=pa, ode_solver=4)
     h = Hydro(m, opt)
     checks = IT_NORMS[dim][problem]
-    steps_needed = checks[-1][0]
+    # step repetitions count as attempts (laghos.cpp:760), so allow slack
+    steps_needed = checks[-1][0] * 3 + 20
     res = driver.run(h, t_final=0.6,
                      max_steps=max_steps if max_steps else steps_needed,
                      vis_steps=1, check_steps=tuple(s for s, _ in checks),
