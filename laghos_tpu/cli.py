@@ -135,11 +135,26 @@ def main(argv=None):
         from .checkpoint import load
 
         S_init, t0, dt0, st0 = load(args.restore)
+    check_steps = ()
+    if args.check:
+        from .verify import CHECKS_TABLE
+
+        assert args.rs == 0 and args.rp == 0, "check: rs, rp"
+        assert args.order_v == 2 and args.order_e == 1, "check: orders"
+        assert args.ode_solver == 4 and args.t_final == 0.6, "check: cfg"
+        assert args.cfl == 0.5, "check: cfl"
+        check_steps = tuple(
+            s for s, _ in CHECKS_TABLE[m.dim][args.problem])
     res = driver.run(
         h, t_final=args.t_final, max_steps=args.max_steps,
         vis_steps=args.vis_steps, verbose=True, timing=args.fom,
         S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
-        checkpoint_path=args.checkpoint)
+        checkpoint_path=args.checkpoint, check_steps=check_steps)
+    if args.check:
+        from .verify import run_checks
+
+        run_checks(args.problem, m.dim, res.norms)
+        print("Checks passed.")
 
     rk_stages = {1: 1, 2: 2, 3: 3, 4: 4, 6: 8, 7: 2}[args.ode_solver]
     steps = res.steps * rk_stages
@@ -152,7 +167,12 @@ def main(argv=None):
     print(f"Energy  diff: {abs(res.energy_init - res.energy_final):.2e}")
 
     if args.problem in (0, 4):
-        _print_velocity_errors(h, res)
+        from .verify import velocity_error_norms
+
+        linf, l1, l2 = velocity_error_norms(h, res.S)
+        print(f"L_inf  error: {linf}")
+        print(f"L_1    error: {l1}")
+        print(f"L_2    error: {l2}")
 
     if args.check_exact_sedov:
         from .sedov import sedov_density_l2_error
@@ -160,12 +180,6 @@ def main(argv=None):
         err = sedov_density_l2_error(h, res.S, res.t, args.blast_energy)
         print(f"Density L2 error: {err}")
     return res
-
-
-def _print_velocity_errors(h, res):
-    # Exact velocity is steady for problems 0 and 4 (laghos.cpp:970-983);
-    # full quadrature-based error norms land with the verification module.
-    pass
 
 
 if __name__ == "__main__":
