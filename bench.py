@@ -2,62 +2,117 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The metric is the reference's FOM (BASELINE.md): time-weighted mix of the
-CG-H1 / force / qupdate phase rates over a fixed number of 3D Sedov steps
-at Q2-Q1.  The reference publishes no absolute number
-(BASELINE.json.published = {}), so vs_baseline is reported as null until a
-measured Laghos-CUDA FOM is available.
+Methodology: the reference's FOM (BASELINE.md) is built from per-phase
+rates (CG-H1 / forces / qupdate).  Host<->TPU dispatch through the axon
+tunnel costs ~100ms per call, which would swamp the phase stopwatches the
+reference uses (its device syncs cost microseconds); so each phase is
+measured with a K-iteration on-device `lax.fori_loop` around the jitted
+phase body (state taken from a short real trajectory), amortizing the
+dispatch to zero.  Counts (steps, CG iterations) come from the real
+adaptive-dt trajectory.
+
+The reference publishes no absolute FOM (BASELINE.json.published = {}), so
+vs_baseline is null until a measured Laghos-CUDA number exists.
 """
 
 import json
 import os
-import sys
 import time
 
-# Default platform: whatever the environment provides (TPU in the driver).
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("BENCH_PLATFORM", ""))
-if not os.environ.get("JAX_PLATFORMS"):
-    del os.environ["JAX_PLATFORMS"]
+os.environ.setdefault("BENCH_DUMMY", "1")
+
+
+def _timed_loop(fn, args, iters):
+    """Median-of-3 wall time of `iters` chained applications of fn."""
+    import jax
+
+    f = jax.jit(lambda a: jax.lax.fori_loop(
+        0, iters, lambda i, s: fn(s), a))
+    out = jax.block_until_ready(f(args))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(args))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1] / iters
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from laghos_tpu import driver
     from laghos_tpu.fem import mesh as fmesh
     from laghos_tpu.hydro import Hydro, Options
 
-    rs = int(os.environ.get("BENCH_RS", "2"))
-    max_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    rs = int(os.environ.get("BENCH_RS", "3"))
+    warm_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
 
-    m = fmesh.load_mfem_mesh("/root/reference/data/cube01_hex.mesh")
+    # unit cube, 2x2x2 hexes (the cube01_hex geometry), refined rs times
+    m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
     for _ in range(rs):
         m = fmesh.uniform_refine(m)
     opt = Options(problem=1, blast_energy=2.0, ode_solver=4)
     h = Hydro(m, opt)
 
-    res = driver.run(h, t_final=0.6, max_steps=max_steps, vis_steps=1000,
-                     timing=True, verbose=False)
-    tim = res.timing_data
+    # short real trajectory for a representative state + iteration counts
+    res = driver.run(h, t_final=0.6, max_steps=warm_steps, vis_steps=1000,
+                     verbose=False)
+    S = res.S
     rk_stages = 4
-    steps = res.steps * rk_stages
+    steps = res.steps
+    cg_iters_per_solve = res.h1_iters / (steps * rk_stages) / 3.0
+
+    # ---- phase micro-benchmarks (amortized on-device loops) -------------
+    sJit, _ = jax.block_until_ready(h._jq(S))
+
+    # tiny-scale carries prevent XLA from dead-code-eliminating the body
+    eps = 1e-300
+
+    t_q = _timed_loop(lambda s: _q_body(h, s, eps), S, iters)
+
+    def _force_pair(sj):
+        raw = h._force_rhs_raw(sj)
+        e_rhs = h._force_transpose(sj, S["v"])
+        return sj + eps * (jnp.sum(raw) + jnp.sum(e_rhs))
+
+    t_f = _timed_loop(_force_pair, sJit, iters)
+
+    B = jax.block_until_ready(h._jprep_v(h._jforce1(sJit)))
+
+    def _cg_body(b):
+        x, it = h._cg_velocity(b)
+        return b + eps * x
+
+    t_cg = _timed_loop(_cg_body, B, max(2, iters // 2))
+
+    # ---- FOM assembly (reference formulas, laghos_solver.cpp:722-727) ---
     H1_dofs = h.ndof * 3
     L2_dofs = h.NE * h.ld
-    T1, T2, T3 = tim.t["cgH1"], tim.t["force"], tim.t["qdata"]
+    n_mults = steps * rk_stages
+    T1 = t_cg * n_mults * 3          # dim CG solves per Mult (batched here)
+    T2 = t_f * n_mults               # force + transpose per Mult
+    T3 = t_q * (n_mults + steps)     # stages + dt estimate
+    H1iter_total = cg_iters_per_solve * n_mults * 3
+    FOM1 = 1e-6 * H1_dofs * (H1iter_total / 3) / T1
+    FOM2 = 1e-6 * (n_mults) * (H1_dofs + L2_dofs) / T2
+    FOM3 = 1e-6 * h.NE * (n_mults + steps) * h.NQ / T3
     TT = T1 + T2 + T3
-    H1iter = tim.H1iter // 3
-    FOM1 = 1e-6 * H1_dofs * H1iter / T1 if T1 > 0 else 0.0
-    FOM2 = 1e-6 * steps * (H1_dofs + L2_dofs) / T2 if T2 > 0 else 0.0
-    FOM3 = 1e-6 * tim.quad_tstep * h.NQ / T3 if T3 > 0 else 0.0
-    FOM = (FOM1 * T1 + FOM2 * T2 + FOM3 * T3) / TT if TT > 0 else 0.0
+    FOM = (FOM1 * T1 + FOM2 * T2 + FOM3 * T3) / TT
 
     print(json.dumps({
-        "metric": "3D Sedov Q2-Q1 FOM (rs%d, %d steps, 1 chip)" % (
-            rs, res.steps),
+        "metric": f"3D Sedov Q2-Q1 FOM (rs{rs}, NE={h.NE}, f64, 1 chip)",
         "value": round(FOM, 3),
         "unit": "megadofs*steps/s",
         "vs_baseline": None,
     }))
+
+
+def _q_body(h, s, eps):
+    sj, dtm = h._qupdate(s)
+    # fold into state so the loop has a data dependence
+    return {"x": s["x"] + eps * dtm, "v": s["v"], "e": s["e"]}
 
 
 if __name__ == "__main__":

@@ -87,7 +87,9 @@ def make_mesh(args):
     from .fem import mesh as fmesh
 
     if args.mesh != "default":
-        m = fmesh.load_mfem_mesh(args.mesh)
+        from .data import get_mesh
+
+        m = get_mesh(args.mesh)
         for _ in range(args.rs):
             m = fmesh.uniform_refine(m)
     else:

@@ -302,7 +302,145 @@ def load_mfem_mesh(path: str) -> Mesh:
 
 
 def uniform_refine(mesh: Mesh) -> Mesh:
-    """One level of uniform (1:2^dim) refinement, conforming."""
+    """One level of uniform (1:2^dim) refinement, conforming.
+
+    Fully vectorized: every candidate node (vertex/edge-mid/face-center/
+    cell-center) is identified across elements by its sorted supporting-
+    vertex key, deduplicated by the native `unify_rows` kernel.
+    """
+    from ..native import unify_rows
+
+    d = mesh.dim
+    NE = mesh.num_elems
+    ncor = 2**d
+    lat_corners = mesh.corners_lattice().astype(np.int64)   # (NE, ncor)
+
+    # {0,1,2}^d lattice points per element, x fastest
+    rng = np.arange(3)
+    grids = np.meshgrid(*([rng] * d), indexing="ij")
+    pts = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+    npts = 3**d
+    support = np.ones((npts, ncor), dtype=bool)
+    for dd in range(d):
+        ix = pts[:, dd][:, None]
+        bit = (np.arange(ncor) >> dd) & 1
+        support &= (((ix == 0) & (bit == 0)) | ((ix == 2) & (bit == 1))
+                    | (ix == 1))
+
+    elem_keys = np.where(support[None], lat_corners[:, None, :], -1)
+    elem_keys = np.sort(elem_keys, axis=-1)                 # (NE, npts, ncor)
+
+    # candidate-node coordinates: mean over supporting vertices
+    cs = mesh.verts[lat_corners]                            # (NE, ncor, dim)
+    cnt = support.sum(axis=1).astype(np.float64)            # (npts,)
+    coords = (np.einsum("pc,ecd->epd", support.astype(np.float64), cs)
+              / cnt[None, :, None])                         # (NE, npts, dim)
+
+    # boundary child rows (reusing the same key space)
+    bdr_rows = None
+    bdr_coords = None
+    NB = mesh.bdr_verts.shape[0]
+    sup2 = None
+    if NB:
+        fv = mesh.bdr_verts.astype(np.int64)            # (NB, 2^(d-1))
+        if d == 1:
+            bdr_rows = np.sort(np.concatenate(
+                [fv, np.full((NB, ncor - 1), -1, np.int64)], axis=1),
+                axis=1)[:, None, :]                     # (NB, 1, ncor)
+            bdr_coords = mesh.verts[fv[:, 0]][:, None, :]
+        elif d == 2:
+            z = np.full((NB, 1), -1, dtype=np.int64)
+            r0 = np.sort(np.concatenate([fv[:, :1], z], axis=1), axis=1)
+            r1 = np.sort(fv, axis=1)
+            r2 = np.sort(np.concatenate([fv[:, 1:2], z], axis=1), axis=1)
+            bdr_rows = np.stack([r0, r1, r2], axis=1)   # (NB, 3, 2)
+            pad = np.full((NB, 3, ncor - 2), -1, dtype=np.int64)
+            bdr_rows = np.concatenate([pad, bdr_rows], axis=-1)
+            bdr_coords = np.stack(
+                [mesh.verts[fv[:, 0]], mesh.verts[fv].mean(axis=1),
+                 mesh.verts[fv[:, 1]]], axis=1)
+        else:
+            # face lattice (0,0)=v0 (1,0)=v1 (1,1)=v2 (0,1)=v3 (fv cyclic)
+            fl = np.stack([fv[:, 0], fv[:, 1], fv[:, 3], fv[:, 2]], axis=1)
+            g2 = np.meshgrid(rng, rng, indexing="ij")
+            p2 = np.stack([g.reshape(-1, order="F") for g in g2], axis=1)
+            sup2 = np.ones((9, 4), dtype=bool)
+            for dd in range(2):
+                ix = p2[:, dd][:, None]
+                bit = (np.arange(4) >> dd) & 1
+                sup2 &= (((ix == 0) & (bit == 0))
+                         | ((ix == 2) & (bit == 1)) | (ix == 1))
+            rows = np.where(sup2[None], fl[:, None, :], -1)
+            rows = np.sort(rows, axis=-1)               # (NB, 9, 4)
+            pad = np.full((NB, 9, ncor - 4), -1, dtype=np.int64)
+            bdr_rows = np.concatenate([pad, rows], axis=-1)
+            fvv = mesh.verts[fl]                        # (NB, 4, dim)
+            bdr_coords = (np.einsum("pc,ncd->npd",
+                                    sup2.astype(np.float64), fvv)
+                          / sup2.sum(axis=1)[None, :, None])
+
+    all_rows = elem_keys.reshape(-1, ncor)
+    all_coords = coords.reshape(-1, d)
+    if bdr_rows is not None:
+        all_rows = np.concatenate([all_rows, bdr_rows.reshape(-1, ncor)])
+        all_coords = np.concatenate([all_coords,
+                                     bdr_coords.reshape(-1, d)])
+
+    nnew, inverse, first = unify_rows(all_rows)
+    new_verts = all_coords[first]
+
+    inv_elem = inverse[:NE * npts].reshape(NE, npts)
+    # children
+    new_elems = np.empty((NE, ncor, ncor), dtype=np.int64)  # (NE, child, c)
+    for ci, child in enumerate(_bits(d)):
+        for cc_i, cc in enumerate(_bits(d)):
+            flat = sum((child[k] + cc[k]) * 3**k for k in range(d))
+            new_elems[:, ci, cc_i] = inv_elem[:, flat]
+    # lattice -> mfem corner order
+    perm = _MFEM_TO_CORNER[d]
+    new_elems = new_elems[:, :, perm].reshape(NE * ncor, ncor)
+
+    new_bdr = np.zeros((0, max(1, 2 ** (d - 1))), dtype=np.int64)
+    new_attr = np.zeros(0, dtype=np.int64)
+    if NB:
+        inv_b = inverse[NE * npts:].reshape(NB, -1)
+        if d == 1:
+            new_bdr = inv_b.reshape(NB, 1)
+            new_attr = mesh.bdr_attr.copy()
+        elif d == 2:
+            ch = np.stack([inv_b[:, [0, 1]], inv_b[:, [1, 2]]], axis=1)
+            new_bdr = ch.reshape(NB * 2, 2)
+            new_attr = np.repeat(mesh.bdr_attr, 2)
+        else:
+            chs = []
+            for fy in (0, 1):
+                for fx in (0, 1):
+                    def fid(ax, ay):
+                        return inv_b[:, (fx + ax) + 3 * (fy + ay)]
+                    chs.append(np.stack(
+                        [fid(0, 0), fid(1, 0), fid(1, 1), fid(0, 1)],
+                        axis=1))
+            new_bdr = np.stack(chs, axis=1).reshape(NB * 4, 4)
+            new_attr = np.repeat(mesh.bdr_attr, 4)
+
+    return Mesh(
+        d,
+        new_verts,
+        new_elems.astype(np.int32),
+        np.asarray(new_bdr, dtype=np.int32).reshape(-1, max(1, 2 ** (d - 1))),
+        np.asarray(new_attr, dtype=np.int32),
+    )
+
+
+def _bits(d):
+    out = []
+    for i in range(2**d):
+        out.append(tuple((i >> k) & 1 for k in range(d)))
+    return out
+
+
+def _uniform_refine_dictloop(mesh: Mesh) -> Mesh:
+    """Reference implementation (python-dict based); kept for testing."""
     d = mesh.dim
     verts = [mesh.verts]
     next_id = mesh.num_verts

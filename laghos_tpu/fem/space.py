@@ -88,8 +88,10 @@ def build_h1_space(mesh: Mesh, p: int) -> H1Space:
     flatv = np.take_along_axis(vert.reshape(-1, ncor), order, axis=-1)
     flatw = np.take_along_axis(wts.reshape(-1, ncor), order, axis=-1)
     keys = np.concatenate([flatv, flatw], axis=1)  # (NE*nd, 2*ncor)
-    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
-    ndof = uniq.shape[0]
+    from ..native import unify_rows
+
+    ndof, inverse, first_row = unify_rows(keys)
+    uniq = keys[first_row]
     gather = inverse.reshape(NE, nd).astype(np.int32)
 
     # Node coordinates: multilinear geometry map at the Gauss-Lobatto points.
