@@ -101,6 +101,13 @@ def main():
     TT = T1 + T2 + T3
     FOM = (FOM1 * T1 + FOM2 * T2 + FOM3 * T3) / TT
 
+    import sys
+
+    print(f"phase times/call: qupdate {t_q*1e3:.3f} ms, "
+          f"force-pair {t_f*1e3:.3f} ms, cg-velocity {t_cg*1e3:.3f} ms "
+          f"({cg_iters_per_solve:.1f} iters/solve); "
+          f"FOM1 {FOM1:.2f} FOM2 {FOM2:.2f} FOM3 {FOM3:.2f}",
+        file=sys.stderr)
     print(json.dumps({
         "metric": f"3D Sedov Q2-Q1 FOM (rs{rs}, NE={h.NE}, f64, 1 chip)",
         "value": round(FOM, 3),
