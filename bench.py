@@ -19,8 +19,6 @@ import json
 import os
 import time
 
-os.environ.setdefault("BENCH_DUMMY", "1")
-
 
 def _timed_loop(fn, args, iters):
     """Median-of-3 wall time of `iters` chained applications of fn."""
@@ -39,6 +37,9 @@ def _timed_loop(fn, args, iters):
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from laghos_tpu import driver

@@ -106,10 +106,11 @@ def make_mesh(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.device:
-        os.environ["JAX_PLATFORMS"] = args.device
 
     import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
 
     from . import driver

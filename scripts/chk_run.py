@@ -8,9 +8,13 @@ per-problem later step against laghos.cpp:1441-1463.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("CHK_PLATFORM", "cpu")
+PLATFORM = os.environ.get("CHK_PLATFORM", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", PLATFORM)
 
 import numpy as np
 
