@@ -63,6 +63,8 @@ def build_parser():
     p.add_argument("-vs", "--visualization-steps", type=int, default=5,
                    dest="vis_steps")
     p.add_argument("-print", "--print", action="store_true", dest="gfprint")
+    p.add_argument("-visit", "--visit", action="store_true", dest="visit")
+    p.add_argument("-mb", "--mem", action="store_true", dest="mem_usage")
     p.add_argument("-k", "--outputfilename", default="results/Laghos",
                    dest="basename")
     p.add_argument("-d", "--device", default=None,
@@ -148,11 +150,19 @@ def main(argv=None):
         assert args.cfl == 0.5, "check: cfl"
         check_steps = tuple(
             s for s, _ in CHECKS_TABLE[m.dim][args.problem])
+    on_vis = None
+    if args.visit or args.gfprint:
+        from .io import DataCollection
+
+        dc = DataCollection(args.basename, h)
+        dc.save(0, 0.0, h.S0)
+        on_vis = lambda ti, t, S: dc.save(ti, t, S)  # noqa: E731
     res = driver.run(
         h, t_final=args.t_final, max_steps=args.max_steps,
         vis_steps=args.vis_steps, verbose=True, timing=args.fom,
         S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
-        checkpoint_path=args.checkpoint, check_steps=check_steps)
+        checkpoint_path=args.checkpoint, check_steps=check_steps,
+        on_vis=on_vis)
     if args.check:
         from .verify import run_checks
 
@@ -168,6 +178,14 @@ def main(argv=None):
 
     print("")
     print(f"Energy  diff: {abs(res.energy_init - res.energy_final):.2e}")
+    if args.mem_usage:
+        from .io import device_memory_stats, max_rss_mb
+
+        print(f"Maximum memory resident set size: {max_rss_mb()} MB")
+        for dev, stats in device_memory_stats().items():
+            if stats:
+                used = stats.get("bytes_in_use", 0) // (1024 * 1024)
+                print(f"  {dev}: {used} MB in use")
 
     if args.problem in (0, 4):
         from .verify import velocity_error_norms
