@@ -138,14 +138,20 @@ def min_singular_value(J: jnp.ndarray, d: int) -> jnp.ndarray:
     """Smallest singular value of J (mfem kernels::CalcSingularvalue)."""
     if d == 1:
         return jnp.abs(J[..., 0, 0])
-    JtJ = jnp.einsum("...ka,...kb->...ab", J, J)
     if d == 2:
-        t = JtJ[..., 0, 0] + JtJ[..., 1, 1]
-        dt = det(JtJ, 2)
-        disc = jnp.sqrt(jnp.maximum((t / 2.0) ** 2 - dt, 0.0))
-        lam_max = t / 2.0 + disc
-        lam_min = jnp.where(lam_max > 0.0, dt / jnp.maximum(lam_max, 1e-300),
-                            0.0)
-        return jnp.sqrt(jnp.maximum(lam_min, 0.0))
+        # Stable closed-form 2x2 SVD (no cancellation for near-isotropic J,
+        # which is the state of every undisturbed element): with
+        # E,F = (a±d)/2 and G,H = (c±b)/2, the singular values are
+        # |Q±R| for Q = |(E,H)|, R = |(F,G)|.
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, dd = J[..., 1, 0], J[..., 1, 1]
+        E = (a + dd) / 2.0
+        F = (a - dd) / 2.0
+        G = (c + b) / 2.0
+        H = (c - b) / 2.0
+        Q = jnp.hypot(E, H)
+        R = jnp.hypot(F, G)
+        return jnp.abs(Q - R)
+    JtJ = jnp.einsum("...ka,...kb->...ab", J, J)
     lam_min, _ = _eig3_smallest(JtJ)
     return jnp.sqrt(jnp.maximum(lam_min, 0.0))
