@@ -12,6 +12,7 @@ J[..., a, b] = dx_a/dxhat_b.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -119,9 +120,16 @@ def _eig3_smallest(A: jnp.ndarray):
         cands, best[..., None, None].astype(jnp.int32), axis=-2
     )[..., 0, :]
     nbest = jnp.sqrt(jnp.max(norms, axis=-1))
-    bad = (nbest <= 1e-28 * scale * scale) | degenerate
-    e0 = jnp.zeros_like(vec).at[..., 0].set(1.0)
-    vec = jnp.where(bad[..., None], e0, vec)
+    # Repeated smallest eigenvalue (all cross products vanish, e.g. the
+    # uniaxial-expansion case diag(a,0,0) with a>0): pick the coordinate
+    # direction of the (first) smallest diagonal entry — the stable
+    # ascending-sort convention for diagonal matrices, matching the
+    # reference's diagonal-case eigenvectors (mfem kernels
+    # CalcEigenvalues<3>).
+    bad = (nbest <= 1e-26 * scale * scale) | degenerate
+    dia = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    fb = jax.nn.one_hot(jnp.argmin(dia, axis=-1), 3, dtype=A.dtype)
+    vec = jnp.where(bad[..., None], fb, vec)
     return lam_min, vec
 
 
