@@ -154,3 +154,36 @@ def test_cg_solves(hydro2d):
     assert bool(jnp.all(res.converged))
     assert np.allclose(np.asarray(res.x), np.asarray(xt), atol=1e-8)
     assert int(res.iters[0]) > 0
+
+
+def test_fa_assembled_matches_pa(hydro2d):
+    """FA==PA operator identity on quads (SURVEY §7 stage-4 gate)."""
+    import jax.numpy as jnp
+    from laghos_tpu.ops import assemble, force as fop, mass as mop
+
+    h = hydro2d
+    rng = np.random.default_rng(7)
+    sJit = jnp.asarray(rng.normal(size=(h.NE, h.NQ, 2, 2)))
+    e = jnp.asarray(rng.normal(size=(h.NE, h.ld)))
+    v = jnp.asarray(rng.normal(size=(2, h.ndof)))
+
+    Fm = assemble.force_element_matrices(sJit, h.tables, dim=2)
+    Fe_fa = assemble.force_apply_fa(Fm, e)          # (NE, nd, d)
+    Fe_pa = fop.force_mult(e, sJit, h.tables, dim=2, ftz_eps2=0.0)
+    assert np.allclose(np.asarray(Fe_fa), np.asarray(
+        jnp.moveaxis(Fe_pa, 1, 2)), atol=1e-11)
+
+    v_e = v[:, h.gather].transpose(1, 0, 2)
+    FT_fa = assemble.force_apply_transpose_fa(Fm, jnp.moveaxis(
+        jnp.moveaxis(v_e, 1, 2), 2, 1))
+    FT_pa = fop.force_mult_transpose(v_e, sJit, h.tables, dim=2)
+    assert np.allclose(np.asarray(FT_fa), np.asarray(FT_pa), atol=1e-11)
+
+    # global sparse velocity mass == matrix-free apply
+    Mel = assemble.h1_mass_element_matrices(h.massD, h.tables["H1B"], 2)
+    A = assemble.to_bcoo(Mel, h.h1.gather, h.ndof)
+    u = jnp.asarray(rng.normal(size=(h.ndof,)))
+    y_sp = A @ u
+    y_mf = mop.h1_mass_apply(u[None], h.gather, h.ndof, h.massD,
+                             h.tables["H1B"], 2)[0]
+    assert np.allclose(np.asarray(y_sp), np.asarray(y_mf), atol=1e-11)
