@@ -85,51 +85,59 @@ def _eig2_smallest(A: jnp.ndarray):
     return lam_min, jnp.stack([vx, vy], axis=-1)
 
 
-def _eig3_smallest(A: jnp.ndarray):
-    """Smallest eigenvalue + eigenvector of symmetric 3x3 (closed form).
+def _jacobi_rotation(app, aqq, apq):
+    """Stable (c, s) annihilating the (p,q) entry (Golub & Van Loan)."""
+    nonzero = apq != 0.0
+    safe = jnp.where(nonzero, apq, 1.0)
+    tau = (aqq - app) / (2.0 * safe)
+    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(nonzero, c, 1.0)
+    s = jnp.where(nonzero, s, 0.0)
+    return c, s
 
-    Eigenvalues by the trigonometric method; the eigenvector by the
-    largest cross product of rows of (A - lam I), falling back to
-    (1, 0, 0) for (near-)isotropic matrices — matching MFEM's identity
-    eigenvectors for the zero/diagonal-degenerate case, which is the
-    state at t=0 when v = 0 (laghos_solver.cpp:1113).
+
+def _eig3_smallest(A: jnp.ndarray, sweeps: int = 6):
+    """Smallest eigenvalue + eigenvector of symmetric 3x3 batches.
+
+    Fixed-count cyclic Jacobi iteration (unrolled, branch-free): machine-
+    precision eigenvalues including the nearly-degenerate case where the
+    closed-form trigonometric method loses ~sqrt(eps) (arccos near +-1),
+    which showed up as O(1e-8) force noise on near-uniaxial velocity
+    gradients.  For exactly repeated smallest eigenvalues the accumulated
+    rotations leave the coordinate direction of the corresponding diagonal
+    entry, matching the reference's diagonal-case eigenvector convention
+    (mfem kernels CalcEigenvalues<3>, used at laghos_solver.cpp:1113).
     """
-    q = (A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]) / 3.0
-    eye = jnp.eye(3, dtype=A.dtype)
-    B = A - q[..., None, None] * eye
-    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
-    p = jnp.sqrt(p2)
-    scale = jnp.maximum(jnp.abs(A).max(axis=(-2, -1)), 1e-300)
-    degenerate = p <= 1e-14 * scale
-    psafe = jnp.where(degenerate, 1.0, p)
-    r = det(B / psafe[..., None, None], 3) / 2.0
-    r = jnp.clip(r, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    lam_max = q + 2.0 * psafe * jnp.cos(phi)
-    lam_min = q + 2.0 * psafe * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    lam_min = jnp.where(degenerate, q, lam_min)
+    B = A
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
 
-    C = A - lam_min[..., None, None] * eye
-    r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
-    cands = jnp.stack(
-        [jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)], axis=-2
-    )
-    norms = jnp.sum(cands * cands, axis=-1)
-    best = jnp.argmax(norms, axis=-1)
+    def rot_mat(c, s, p, q):
+        G = jnp.zeros(A.shape, A.dtype)
+        for k in range(3):
+            G = G.at[..., k, k].set(1.0)
+        G = G.at[..., p, p].set(c)
+        G = G.at[..., q, q].set(c)
+        G = G.at[..., p, q].set(s)
+        G = G.at[..., q, p].set(-s)
+        return G
+
+    for _ in range(sweeps):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            c, s = _jacobi_rotation(B[..., p, p], B[..., q, q],
+                                    B[..., p, q])
+            G = rot_mat(c, s, p, q)
+            B = jnp.einsum("...ji,...jk,...kl->...il", G, B, G)
+            V = jnp.einsum("...ij,...jk->...ik", V, G)
+
+    dia = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
+    k = jnp.argmin(dia, axis=-1)
+    lam_min = jnp.min(dia, axis=-1)
     vec = jnp.take_along_axis(
-        cands, best[..., None, None].astype(jnp.int32), axis=-2
-    )[..., 0, :]
-    nbest = jnp.sqrt(jnp.max(norms, axis=-1))
-    # Repeated smallest eigenvalue (all cross products vanish, e.g. the
-    # uniaxial-expansion case diag(a,0,0) with a>0): pick the coordinate
-    # direction of the (first) smallest diagonal entry — the stable
-    # ascending-sort convention for diagonal matrices, matching the
-    # reference's diagonal-case eigenvectors (mfem kernels
-    # CalcEigenvalues<3>).
-    bad = (nbest <= 1e-26 * scale * scale) | degenerate
-    dia = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
-    fb = jax.nn.one_hot(jnp.argmin(dia, axis=-1), 3, dtype=A.dtype)
-    vec = jnp.where(bad[..., None], fb, vec)
+        V, k[..., None, None].astype(jnp.int32).repeat(3, axis=-2), axis=-1
+    )[..., 0]
     return lam_min, vec
 
 
