@@ -1,0 +1,319 @@
+"""2:1 refinement forest over a Cartesian box — the AMR mesh layer.
+
+TPU-native re-design of the reference AMR variant's mesh machinery
+(amr/laghos.cpp:628-719, MFEM ParNCMesh): leaves of a quad/oct forest over
+an axis-aligned base grid, with the 2:1 (nc_limit=1) balance rule and
+hanging-node interpolation constraints.
+
+Everything is exact integer arithmetic on a global lattice: a leaf at
+depth k with level-k cell index i covers [i, i+1]*2^(D-k) level-D cells,
+and its order-p H1 node (a) sits at integer coordinate (i*p + a)*2^(D-k).
+Node identification across depths is therefore a row-deduplication
+(native unify_rows), and slave/master constraint detection is pure index
+arithmetic — no floating-point geometry, no orientation case analysis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fem.basis import lagrange_tables
+from ..fem.quadrature import gauss_lobatto
+from ..native import unify_rows
+
+
+@dataclasses.dataclass
+class Leaf:
+    depth: int
+    idx: tuple  # cell multi-index in the level-`depth` grid
+
+
+class Forest:
+    """Adaptive 2:1-balanced forest on [0,Sx]x[0,Sy](x[0,Sz])."""
+
+    def __init__(self, dim, base_n, sizes, max_depth):
+        self.dim = dim
+        self.base_n = tuple(int(v) for v in base_n[:dim])
+        self.sizes = tuple(float(s) for s in sizes[:dim])
+        self.max_depth = int(max_depth)
+        self.leaves: dict[tuple, int] = {}
+        for idx in np.ndindex(*reversed(self.base_n)):
+            key = (0, tuple(reversed(idx)))
+            self.leaves[key] = 1
+        self._order = sorted(self.leaves)
+
+    # -- basic queries ----------------------------------------------------
+    def leaf_list(self):
+        return self._order
+
+    @property
+    def num_leaves(self):
+        return len(self.leaves)
+
+    def depths(self):
+        return np.array([k for (k, _) in self._order], dtype=np.int32)
+
+    def _exists(self, key):
+        return key in self.leaves
+
+    def _neighbor_exists_coarser(self, depth, idx, d, side):
+        """Does the face neighbor (direction d, side +-1) exist at any
+        admissible depth?  Returns the neighbor depth or None (domain bdr)."""
+        n_at = [self.base_n[k] << depth for k in range(self.dim)]
+        j = list(idx)
+        j[d] += side
+        if j[d] < 0 or j[d] >= n_at[d]:
+            return None
+        # check same depth, coarser, finer
+        if (depth, tuple(j)) in self.leaves:
+            return depth
+        coarse = (depth - 1, tuple(v >> 1 for v in j))
+        if depth > 0 and coarse in self.leaves:
+            return depth - 1
+        return depth + 1  # finer children exist (2:1 guaranteed)
+
+    # -- refinement / derefinement -----------------------------------------
+    def refine(self, keys):
+        """Refine the given leaves (plus 2:1 ripple). Returns the set of
+        keys actually refined."""
+        todo = [k for k in keys if k in self.leaves]
+        done = set()
+        while todo:
+            depth, idx = todo.pop()
+            key = (depth, idx)
+            if key not in self.leaves or depth >= self.max_depth:
+                continue
+            # 2:1 rule: all face neighbors must exist at depth >= depth
+            for d in range(self.dim):
+                for side in (-1, 1):
+                    nd = self._neighbor_exists_coarser(depth, idx, d, side)
+                    if nd is not None and nd < depth:
+                        j = list(idx)
+                        j[d] += side
+                        todo.append(key)
+                        todo.append((depth - 1, tuple(v >> 1 for v in j)))
+                        break
+                else:
+                    continue
+                break
+            else:
+                del self.leaves[key]
+                for child in np.ndindex(*(2,) * self.dim):
+                    child = tuple(reversed(child))
+                    cidx = tuple(2 * idx[k] + child[k]
+                                 for k in range(self.dim))
+                    self.leaves[(depth + 1, cidx)] = 1
+                done.add(key)
+        self._order = sorted(self.leaves)
+        return done
+
+    def derefine(self, keys):
+        """Derefine sibling groups whose members are all flagged and
+        present, respecting 2:1.  Returns parents created."""
+        flagged = set(k for k in keys if k in self.leaves)
+        parents = {}
+        for (depth, idx) in flagged:
+            if depth == 0:
+                continue
+            parents.setdefault(
+                (depth - 1, tuple(v >> 1 for v in idx)), []).append(
+                    (depth, idx))
+        done = set()
+        for parent, kids in parents.items():
+            if len(kids) != 2**self.dim:
+                continue
+            pd, pidx = parent
+            # 2:1: all face neighbors of the parent must exist at depth
+            # >= pd (i.e. no neighbor would become 2 levels finer)
+            ok = True
+            for d in range(self.dim):
+                for side in (-1, 1):
+                    nd = self._neighbor_exists_coarser(pd + 1, tuple(
+                        2 * v + (side > 0) * 1 for v in pidx), d, side)
+            # conservative check: neighbors of each kid not in group must
+            # not be finer than kid
+            for (kd, kidx) in kids:
+                for d in range(self.dim):
+                    for side in (-1, 1):
+                        nd = self._neighbor_exists_coarser(kd, kidx, d,
+                                                           side)
+                        if nd is not None and nd > kd:
+                            ok = False
+            if not ok:
+                continue
+            for k in kids:
+                del self.leaves[k]
+            self.leaves[parent] = 1
+            done.add(parent)
+        self._order = sorted(self.leaves)
+        return done
+
+    # -- discretization structures -----------------------------------------
+    def node_coords_int(self, p):
+        """Integer lattice coordinates of every leaf node: (NL, nd, dim)."""
+        D = self.max_depth
+        d = self.dim
+        nd = (p + 1) ** d
+        rng = np.arange(p + 1)
+        grids = np.meshgrid(*([rng] * d), indexing="ij")
+        lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+        out = np.empty((self.num_leaves, nd, d), dtype=np.int64)
+        for li, (k, idx) in enumerate(self._order):
+            scale = 1 << (D - k)
+            for dd in range(d):
+                out[li, :, dd] = (idx[dd] * p + lat[:, dd]) * scale
+        return out
+
+    def build_space(self, p):
+        """Global dof numbering + hanging-node constraints.
+
+        Returns a dict with:
+          gather (NE, nd): leaf-local lex -> global node id
+          coords (Nn, dim): physical node positions (initial box geometry)
+          true_ids, slave_ids: partition of nodes
+          masters (Ns, W), weights (Ns, W): slave = sum w * true[masters]
+              (master indices into the TRUE-dof numbering)
+          l_from_t arrays to expand true vectors to the full node set
+          ess masks per component
+        """
+        d = self.dim
+        D = self.max_depth
+        coords_int = self.node_coords_int(p)
+        NE, nd, _ = coords_int.shape
+        nn, inverse, first = unify_rows(coords_int.reshape(-1, d))
+        gather = inverse.reshape(NE, nd).astype(np.int32)
+        uniq = coords_int.reshape(-1, d)[first]          # (Nn, d) int
+        # physical coords
+        h = [self.sizes[k] / (self.base_n[k] * (1 << D) * p)
+             for k in range(d)]
+        coords = uniq.astype(np.float64) * np.array(h)[None, :]
+
+        # --- hanging constraints ------------------------------------------
+        # For every leaf face that borders a coarser neighbor, constrain
+        # this leaf's face nodes to the neighbor-face polynomial trace.
+        gl = gauss_lobatto(p + 1)
+        slave_of: dict[int, tuple] = {}
+        leaf_index = {key: i for i, key in enumerate(self._order)}
+        rng = np.arange(p + 1)
+        grids = np.meshgrid(*([rng] * d), indexing="ij")
+        lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+
+        for li, (k, idx) in enumerate(self._order):
+            for dd in range(d):
+                for side in (0, 1):
+                    nidx = list(idx)
+                    nidx[dd] += 1 if side else -1
+                    n_at = self.base_n[dd] << k
+                    if nidx[dd] < 0 or nidx[dd] >= n_at:
+                        continue
+                    coarse = (k - 1, tuple(v >> 1 for v in nidx))
+                    if k == 0 or coarse not in self.leaves:
+                        continue
+                    # neighbor is coarser: face nodes of THIS leaf on that
+                    # face are slaves of the coarse leaf's face nodes
+                    cli = leaf_index[coarse]
+                    face_mask = lat[:, dd] == (p if side else 0)
+                    face_nodes = np.where(face_mask)[0]
+                    # parameter of this leaf's face nodes on the coarse
+                    # face: per tangential dim t: coarse param =
+                    # (offset + gl)/2 where offset = idx[t] & 1
+                    tdims = [t for t in range(d) if t != dd]
+                    Ws = []
+                    for t in tdims:
+                        off = idx[t] & 1
+                        pts = (off + gl) / 2.0
+                        B, _ = lagrange_tables(gl, pts)
+                        Ws.append(B)      # (p+1, p+1): node a -> weights
+                    # coarse face node ids: local lattice of coarse leaf
+                    cside = nidx[dd] & 1  # which half? coarse face coord
+                    cface_coord = p if (nidx[dd] & 1) == 1 and False else 0
+                    # coarse leaf's face facing back towards us:
+                    # if we look in +dd, the coarse face is its dd==0 side
+                    cface = 0 if side else p
+                    for a in face_nodes:
+                        gid = gather[li, a]
+                        if gid in slave_of:
+                            continue
+                        # weights over coarse face nodes
+                        wlist = []
+                        for t_i, t in enumerate(tdims):
+                            wlist.append(Ws[t_i][lat[a, t]])
+                        masters = []
+                        weights = []
+                        for cn in range(nd):
+                            if lat[cn, dd] != cface:
+                                continue
+                            w = 1.0
+                            for t_i, t in enumerate(tdims):
+                                w *= wlist[t_i][lat[cn, t]]
+                            if abs(w) > 1e-14:
+                                masters.append(int(gather[cli, cn]))
+                                weights.append(float(w))
+                        # identity constraint (node coincides with a coarse
+                        # node) -> not a slave
+                        if (len(masters) == 1 and
+                                abs(weights[0] - 1.0) < 1e-12 and
+                                masters[0] == gid):
+                            continue
+                        slave_of[gid] = (masters, weights)
+
+        slave_ids = np.array(sorted(slave_of), dtype=np.int64)
+        is_slave = np.zeros(nn, dtype=bool)
+        is_slave[slave_ids] = True
+        true_ids = np.where(~is_slave)[0]
+        t_of_n = np.full(nn, -1, dtype=np.int64)
+        t_of_n[true_ids] = np.arange(true_ids.size)
+
+        # resolve chains: masters that are slaves get substituted (at most
+        # twice; 2:1 balance bounds the chain depth)
+        for _ in range(3):
+            changed = False
+            for gid, (ms, ws) in list(slave_of.items()):
+                if any(is_slave[m] for m in ms):
+                    nm, nw = [], []
+                    for m, w in zip(ms, ws):
+                        if is_slave[m]:
+                            m2, w2 = slave_of[m]
+                            nm += m2
+                            nw += [w * x for x in w2]
+                        else:
+                            nm.append(m)
+                            nw.append(w)
+                    # merge duplicates
+                    acc = {}
+                    for m, w in zip(nm, nw):
+                        acc[m] = acc.get(m, 0.0) + w
+                    slave_of[gid] = (list(acc), list(acc.values()))
+                    changed = True
+            if not changed:
+                break
+
+        W = max((len(m) for m, _ in slave_of.values()), default=1)
+        Ns = slave_ids.size
+        masters = np.zeros((Ns, W), dtype=np.int64)
+        weights = np.zeros((Ns, W))
+        for si, gid in enumerate(slave_ids):
+            ms, ws = slave_of[gid]
+            masters[si, :len(ms)] = [t_of_n[m] for m in ms]
+            weights[si, :len(ws)] = ws
+
+        # essential masks on the box boundary (attrs: fixed-x/y/z)
+        maxc = np.array([self.base_n[kk] * (1 << D) * p
+                         for kk in range(d)], dtype=np.int64)
+        ess = np.zeros((d, nn), dtype=bool)
+        for dd in range(d):
+            ess[dd] = (uniq[:, dd] == 0) | (uniq[:, dd] == maxc[dd])
+
+        return {
+            "gather": gather,
+            "coords": coords,
+            "nn": nn,
+            "true_ids": true_ids,
+            "slave_ids": slave_ids,
+            "masters": masters,
+            "weights": weights,
+            "t_of_n": t_of_n,
+            "ess": ess,
+        }

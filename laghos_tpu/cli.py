@@ -82,6 +82,9 @@ def build_parser():
                         "every vis_steps")
     p.add_argument("--restore", default=None,
                    help="resume from an NPZ checkpoint")
+    p.add_argument("--profile", default=None,
+                   help="write a jax profiler trace (Caliper-equivalent, "
+                        "SURVEY §5) to this directory during the run")
     return p
 
 
@@ -157,12 +160,17 @@ def main(argv=None):
         dc = DataCollection(args.basename, h)
         dc.save(0, 0.0, h.S0)
         on_vis = lambda ti, t, S: dc.save(ti, t, S)  # noqa: E731
-    res = driver.run(
-        h, t_final=args.t_final, max_steps=args.max_steps,
-        vis_steps=args.vis_steps, verbose=True, timing=args.fom,
-        S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
-        checkpoint_path=args.checkpoint, check_steps=check_steps,
-        on_vis=on_vis)
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        res = driver.run(
+            h, t_final=args.t_final, max_steps=args.max_steps,
+            vis_steps=args.vis_steps, verbose=True, timing=args.fom,
+            S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
+            checkpoint_path=args.checkpoint, check_steps=check_steps,
+            on_vis=on_vis)
     if args.check:
         from .verify import run_checks
 

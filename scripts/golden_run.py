@@ -8,8 +8,11 @@ compares final step count, dt and |e| against the table)
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("CHK_PLATFORM", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("CHK_PLATFORM", "cpu"))
 
 GOLDEN = {
     # row: (problem, mesh, rs, tf, pa, extra_opts, step, dt, |e|)
