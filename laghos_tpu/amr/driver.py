@@ -1,0 +1,105 @@
+"""AMR time loop: adaptive dt + per-step refine/derefine decisions.
+
+Mirrors the reference AMR driver (amr/laghos.cpp:628-719):
+  * refine where zone-max viscosity > ref_threshold, depth < max level,
+    and the zone is still (min velocity < 1e-3) or ti < 50,
+  * otherwise derefine post-shock zones by per-zone max density below
+    deref_threshold * global max, protecting the blast region and zones
+    not yet in motion,
+  * on any change: transfer state, rebuild operators, continue.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .solver import AMRHydro
+
+
+def run_amr(
+    hydro: AMRHydro,
+    t_final: float,
+    ref_threshold: float = 2e-4,
+    deref_threshold: float = 0.75,
+    max_steps: int = -1,
+    vis_steps: int = 5,
+    verbose: bool = False,
+):
+    t = 0.0
+    S = hydro.state
+    _, dt0, _ = hydro._qupdate(S)
+    dt = float(dt0)
+    last_step = False
+    steps = 0
+    ti = 1
+    norms = {}
+    while not last_step:
+        if t + dt >= t_final:
+            dt = t_final - t
+            last_step = True
+        if steps == max_steps:
+            last_step = True
+        S_old, t_old = S, t
+        S_new, dt_est, visc_max, _ = hydro._advance(S, dt)
+        steps += 1
+        dt_est = float(dt_est)
+        if dt_est < dt:
+            dt *= 0.85
+            if dt < np.finfo(np.float64).eps:
+                raise RuntimeError("The time step crashed!")
+            S, t = S_old, t_old
+            if steps < max_steps:
+                last_step = False
+            continue
+        S = S_new
+        t += dt
+        if dt_est > 1.25 * dt:
+            dt *= 1.02
+
+        hydro.state = S
+        if last_step or ti % vis_steps == 0:
+            en = hydro.e_norm()
+            norms[ti] = en
+            if verbose:
+                print(f"step {ti:5d},\tt = {t:.4f},\tdt = {dt:.6f},"
+                      f"\t|e| = {en:.10e}  NE={hydro.NE}")
+
+        # ---- AMR block (amr/laghos.cpp:628-719) -------------------------
+        est = np.asarray(visc_max)
+        # per-element min velocity component value
+        vL = hydro._p_apply_np(np.asarray(S["v"]))
+        v_elem = vL[:, np.asarray(hydro.space["gather"])]   # (d, NE, nd)
+        v_min = v_elem.min(axis=(0, 2))
+        order = hydro.forest.leaf_list()
+        depths = hydro.forest.depths()
+        refs = [order[i] for i in range(hydro.NE)
+                if est[i] > ref_threshold
+                and depths[i] < hydro.forest.max_depth
+                and (v_min[i] < 1e-3 or ti < 50)]
+        changed = False
+        if refs:
+            changed = hydro.apply_amr(refine_keys=refs)
+            if changed and verbose:
+                print(f"Refined -> {hydro.NE} elements.")
+        elif deref_threshold:
+            rho = hydro.compute_density(S)
+            rho_max = np.abs(rho).max(axis=1)
+            threshold = deref_threshold * rho_max.max()
+            protect = rho_max.copy()
+            # protect the blast-origin zones and still zones
+            for i, (k, idx) in enumerate(order):
+                if all(v == 0 for v in idx):
+                    protect[i] = 1e10
+            protect[v_min < 0.1] = 1e10
+            derefs = [order[i] for i in range(hydro.NE)
+                      if protect[i] < threshold]
+            if derefs:
+                changed = hydro.apply_amr(deref_keys=derefs)
+                if changed and verbose:
+                    print(f"Derefined -> {hydro.NE} elements.")
+        if changed:
+            S = hydro.state
+        ti += 1
+
+    return {"steps": ti - 1, "t": t, "dt": dt, "e_norm": hydro.e_norm(),
+            "norms": norms, "NE": hydro.NE}

@@ -1,0 +1,447 @@
+"""AMR hydrodynamics operator: conforming solve on a hanging-node forest.
+
+Mirrors the reference AMR variant's semantics (amr/laghos_solver.cpp):
+  * full-assembly-style solves (direct per-element energy mass inverse,
+    coupled velocity CG) — the variant is FA-only (amr/laghos.cpp:219-227),
+  * hard `if (mu < 0)` viscosity switch (amr/laghos_solver.cpp:610), no
+    vorticity term,
+  * per-element h0 scaling by 2^-depth (amr/laghos_solver.cpp:598-604),
+  * per-zone max artificial viscosity as the refinement estimator
+    (amr/laghos_solver.cpp:644-647).
+
+State lives in TRUE dofs; the hanging-node interpolation P expands to the
+full node set before element gathers, and P^T folds residuals back — the
+TPU equivalent of MFEM's conforming prolongation inside CG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import problems
+from ..fem import basis as fb
+from ..fem import quadrature as fq
+from ..ops import force as fop
+from ..ops import mass as mop
+from ..ops import qupdate as qop
+from ..ops import smallmat
+from ..ops import tensor as top
+from ..solvers.cg import cg
+
+
+class AMRHydro:
+    """Sedov-blast hydrodynamics on an adaptive forest (problem 1)."""
+
+    def __init__(self, forest, opt, dtype=jnp.float64):
+        self.forest = forest
+        self.opt = opt
+        self.dtype = dtype
+        d = self.dim = forest.dim
+        self.nd1 = opt.order_v + 1
+        self.l1d = opt.order_e + 1
+        self.ld = self.l1d**d
+        ir_order = fq.default_rule_order(opt.order_v, opt.order_e,
+                                         opt.order_q)
+        nq1 = self.nq1 = fq.points_for_order(ir_order)
+        self.NQ = nq1**d
+        qpts, w1 = fq.gauss_legendre(nq1)
+        W = w1
+        for _ in range(d - 1):
+            W = np.kron(w1, W)
+        self.Wnp = W
+        h1b = fb.h1_gl_basis(opt.order_v, nq1)
+        l2b = fb.l2_bernstein_basis(opt.order_e, nq1)
+        self.tables = {
+            "H1B": jnp.asarray(h1b.B, dtype),
+            "H1G": jnp.asarray(h1b.G, dtype),
+            "L2B": jnp.asarray(l2b.B, dtype),
+            "W": jnp.asarray(W, dtype),
+        }
+        # refinement matrices (1D): parent poly -> child halves
+        gl = fq.gauss_lobatto(opt.order_v + 1)
+        BL, _ = fb.lagrange_tables(gl, gl / 2.0)
+        BR, _ = fb.lagrange_tables(gl, 0.5 + gl / 2.0)
+        self.h1_refine = (BL, BR)      # child_vals = B @ parent_vals
+        # L2 bernstein subdivision via nodal sampling at GL points
+        gln, _ = fq.gauss_legendre(opt.order_e + 1)
+        Vb, _ = fb.bernstein_tables(opt.order_e, gln)
+        Vbi = np.linalg.inv(Vb)
+        BbL, _ = fb.bernstein_tables(opt.order_e, gln / 2.0)
+        BbR, _ = fb.bernstein_tables(opt.order_e, 0.5 + gln / 2.0)
+        self.l2_refine = (Vbi @ BbL, Vbi @ BbR)
+        # L2 projection (derefinement): parent = (M_ref)^-1 sum_c E_c^T
+        #   M_ref,c child  with reference mass matrices (affine children)
+        qx, qw = fq.gauss_legendre(max(2 * opt.order_e + 2, 2))
+        Bq, _ = fb.bernstein_tables(opt.order_e, qx)
+        Mref = np.einsum("qi,qj,q->ij", Bq, Bq, qw)
+        self.l2_Mref_inv = np.linalg.inv(Mref)
+        self.l2_Mref = Mref
+
+        # physics flags: AMR variant is Sedov-only with hard viscosity
+        self.use_visc = True
+        self.h1order = float(opt.order_v)
+
+        self.rebuild(initial=True)
+
+    # ------------------------------------------------------------------
+    def rebuild(self, initial=False):
+        self._build_space_arrays()
+        if initial:
+            sp = self.space
+            coords = sp["coords"]
+            x0_T = coords[sp["true_ids"]].T                   # (d, nt)
+            v_T = np.zeros_like(x0_T)
+            e = self._initial_energy(coords)
+            self.state = {
+                "x": jnp.asarray(x0_T, self.dtype),
+                "v": jnp.asarray(v_T, self.dtype),
+                "e": jnp.asarray(e, self.dtype),
+            }
+            self.x0_T = jnp.asarray(x0_T, self.dtype)
+        self._build_geometry()
+
+    def _build_space_arrays(self):
+        d = self.dim
+        opt = self.opt
+        sp = self.forest.build_space(opt.order_v)
+        self.space = sp
+        self.NE = self.forest.num_leaves
+        self.nn = sp["nn"]
+        self.gather = jnp.asarray(sp["gather"])
+        self.true_ids = jnp.asarray(sp["true_ids"])
+        self.slave_ids = jnp.asarray(sp["slave_ids"])
+        self.masters = jnp.asarray(sp["masters"])
+        self.weights = jnp.asarray(sp["weights"], self.dtype)
+        self.nt = sp["true_ids"].size
+        self.depths = jnp.asarray(self.forest.depths())
+        ess_n = sp["ess"]
+        self.ess_true = jnp.asarray(ess_n[:, sp["true_ids"]])
+
+    def _build_geometry(self):
+        d = self.dim
+        opt = self.opt
+        sp = self.space
+        # t=0 geometry on the (possibly interpolated) initial config
+        x0_L = np.asarray(self._p_apply_np(np.asarray(self.x0_T)))
+        x0_e = x0_L[:, sp["gather"]].transpose(1, 0, 2)
+        J0 = np.asarray(qop.jacobians(
+            jnp.asarray(x0_e, self.dtype), self.tables["H1B"],
+            self.tables["H1G"], d))
+        detJ0 = np.linalg.det(J0)
+        self.Jac0inv_j = jnp.asarray(np.linalg.inv(J0), self.dtype)
+        # rho0 = 1 for the Sedov blast
+        self.rho0DetJ0w_j = jnp.asarray(self.Wnp[None, :] * detJ0,
+                                        self.dtype)
+        self.massD = self.rho0DetJ0w_j
+        vol = float(np.sum(self.Wnp[None, :] * detJ0))
+        # h0 from the BASE grid (constant; per-element depth scaling is
+        # applied inside qupdate, amr/laghos_solver.cpp:598-604)
+        ne_base = int(np.prod(self.forest.base_n))
+        if d == 2:
+            h0 = np.sqrt(vol / ne_base)
+        else:
+            h0 = (vol / ne_base) ** (1.0 / 3.0)
+        self.h0 = h0 / opt.order_v
+
+        Me = np.asarray(mop.l2_mass_matrices(
+            self.massD, self.tables["L2B"], d))
+        self.Me_inv = jnp.asarray(np.linalg.inv(Me), self.dtype)
+        diag_n = mop.h1_mass_diag(self.gather, self.nn, self.massD,
+                                  self.tables["H1B"], d)
+        self.h1_dinv = 1.0 / diag_n[self.true_ids]
+        self.one_l2 = jnp.ones((self.NE, self.ld), self.dtype)
+        eps = np.finfo(np.float64).eps
+        self.ftz_eps2 = eps * eps
+        self._advance = jax.jit(self._advance_impl)
+        self._emax = jax.jit(self._estimator_impl)
+
+    # ------------------------------------------------------------------
+    def _initial_energy(self, coords):
+        """Delta blast at the origin corner (E0 / 2^dim normalization,
+        amr/laghos.cpp blast_energy = 0.25)."""
+        d = self.dim
+        opt = self.opt
+        # corner leaf: the one containing the origin
+        e = np.zeros((self.NE, self.ld))
+        gl_nodes, _ = fq.gauss_legendre(opt.order_e + 1)
+        # find leaf with min corner == 0
+        order = self.forest.leaf_list()
+        corner = None
+        for li, (k, idx) in enumerate(order):
+            if all(v == 0 for v in idx):
+                corner = li
+                depth = k
+        assert corner is not None
+        p = opt.order_e
+        vals1 = (1.0 - gl_nodes) ** p
+        lat = np.stack([g.reshape(-1, order="F") for g in np.meshgrid(
+            *([np.arange(p + 1)] * d), indexing="ij")], axis=1)
+        vals = np.ones(self.ld)
+        for n in range(self.ld):
+            for dd in range(d):
+                vals[n] *= vals1[lat[n, dd]]
+        # integral of the delta polynomial over the corner leaf
+        D = self.forest.max_depth
+        size = [self.forest.sizes[k] / self.forest.base_n[k] / (1 << depth)
+                for k in range(d)]
+        detJ = np.prod(size)
+        integral = detJ / (p + 1) ** d
+        scale = (opt.blast_energy / 2**d) / integral
+        nodal = vals * scale
+        T1 = fb.nodal_to_bernstein(p)
+        out = nodal.reshape((p + 1,) * d)
+        for kk in range(d):
+            ax = out.ndim - 1 - kk
+            out = np.moveaxis(np.tensordot(out, T1, axes=[[ax], [1]]),
+                              -1, ax)
+        e[corner] = out.reshape(-1)
+        return e
+
+    # ------------------------------------------------------------------
+    def _p_apply(self, xT):
+        """true (C, nt) -> full nodes (C, nn)."""
+        C = xT.shape[0]
+        xL = jnp.zeros((C, self.nn), self.dtype)
+        xL = xL.at[:, self.true_ids].set(xT)
+        if self.slave_ids.size:
+            sv = jnp.einsum("csw,sw->cs", xT[:, self.masters], self.weights)
+            xL = xL.at[:, self.slave_ids].set(sv)
+        return xL
+
+    def _p_apply_np(self, xT):
+        sp = self.space
+        C = xT.shape[0]
+        xL = np.zeros((C, self.nn))
+        xL[:, sp["true_ids"]] = xT
+        if sp["slave_ids"].size:
+            sv = np.einsum("csw,sw->cs", xT[:, sp["masters"]],
+                           sp["weights"])
+            xL[:, sp["slave_ids"]] = sv
+        return xL
+
+    def _pT_apply(self, yL):
+        yT = yL[:, self.true_ids]
+        if self.slave_ids.size:
+            contrib = yL[:, self.slave_ids, None] * self.weights[None]
+            yT = yT.at[:, self.masters.reshape(-1)].add(
+                contrib.reshape(yL.shape[0], -1))
+        return yT
+
+    # ------------------------------------------------------------------
+    def _qupdate(self, S):
+        d = self.dim
+        xL = self._p_apply(S["x"])
+        vL = self._p_apply(S["v"])
+        x_e = xL[:, self.gather].transpose(1, 0, 2)
+        v_e = vL[:, self.gather].transpose(1, 0, 2)
+        return amr_qupdate(
+            x_e, v_e, S["e"], self.rho0DetJ0w_j, self.Jac0inv_j,
+            self.tables, self.h0, self.depths, dim=d,
+            h1order=self.h1order, cfl=self.opt.cfl, gamma=1.4)
+
+    def _solve_velocity(self, sJit):
+        d = self.dim
+        Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
+                              ftz_eps2=self.ftz_eps2)
+        rhs_L = mop.e_to_l(jnp.swapaxes(Fone, 0, 1), self.gather, self.nn)
+        rhs = -self._pT_apply(rhs_L)
+        rhs = jnp.where(self.ess_true, 0.0, rhs)
+
+        def apply_A(uT):
+            uL = self._p_apply(uT)
+            yL = mop.h1_mass_apply(uL, self.gather, self.nn, self.massD,
+                                   self.tables["H1B"], d)
+            yT = self._pT_apply(yL)
+            return jnp.where(self.ess_true, 0.0, yT)
+
+        flat = rhs.reshape(1, -1)
+
+        def apply_flat(u):
+            return apply_A(u.reshape(d, -1)).reshape(1, -1)
+
+        dinv = jnp.broadcast_to(self.h1_dinv[None, :], (d, self.nt))
+        dinv = jnp.where(self.ess_true, 1.0, dinv).reshape(1, -1)
+        res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
+                 precond=lambda r: r * dinv)
+        return res.x.reshape(d, -1), jnp.sum(res.iters)
+
+    def _solve_energy(self, sJit, vT):
+        d = self.dim
+        vL = self._p_apply(vT)
+        v_e = vL[:, self.gather].transpose(1, 0, 2)
+        e_rhs = fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
+        de = jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
+        return de
+
+    def _mult(self, S):
+        sJit, dtmin, visc_max = self._qupdate(S)
+        dv, h1it = self._solve_velocity(sJit)
+        de = self._solve_energy(sJit, S["v"])
+        return ({"x": S["v"], "v": dv, "e": de}, dtmin, visc_max, h1it)
+
+    def _advance_impl(self, S, dt):
+        """RK4 step + dt estimate + per-zone max viscosity estimator."""
+        ax = lambda a, c, b: jax.tree_util.tree_map(
+            lambda u, v: u + c * v, a, b)
+        k1, dtm1, v1, i1 = self._mult(S)
+        y = ax(S, dt / 2, k1)
+        k2, dtm2, v2, i2 = self._mult(y)
+        y = ax(S, dt / 2, k2)
+        k3, dtm3, v3, i3 = self._mult(y)
+        y = ax(S, dt, k3)
+        k4, dtm4, v4, i4 = self._mult(y)
+        S_new = jax.tree_util.tree_map(
+            lambda s0, a1, a2, a3, a4:
+            s0 + dt / 6.0 * (a1 + 2 * a2 + 2 * a3 + a4),
+            S, k1, k2, k3, k4)
+        _, dtm5, v5 = self._qupdate(S_new)
+        dt_est = jnp.minimum(jnp.minimum(dtm2, dtm3),
+                             jnp.minimum(dtm4, dtm5))
+        # the estimator is the zone-max viscosity of the LAST qupdate
+        # (amr/laghos_solver.cpp:467-468 resets it per call)
+        return S_new, dt_est, v5, i1 + i2 + i3 + i4
+
+    def _estimator_impl(self, S):
+        _, _, visc = self._qupdate(S)
+        return visc
+
+    # ------------------------------------------------------------------
+    def apply_amr(self, refine_keys=(), deref_keys=()):
+        """Modify the forest and transfer (x, v, e, x0) to the new space.
+
+        Returns True if the mesh changed (the reference's mesh_changed,
+        amr/laghos.cpp:633-719)."""
+        from .transfer import H1Transfer, L2Transfer, TransferPlan
+
+        old_order = list(self.forest.leaf_list())
+        old_gather = np.asarray(self.space["gather"])
+        changed = False
+        if refine_keys:
+            changed |= bool(self.forest.refine(list(refine_keys)))
+        if deref_keys and not changed:
+            changed |= bool(self.forest.derefine(list(deref_keys)))
+        if not changed:
+            return False
+        new_order = list(self.forest.leaf_list())
+        plan = TransferPlan(old_order, new_order, self.dim)
+
+        # old element values of the H1 fields
+        xT = np.asarray(self.state["x"])
+        vT = np.asarray(self.state["v"])
+        x0T = np.asarray(self.x0_T)
+        xL = self._p_apply_np(xT)
+        vL = self._p_apply_np(vT)
+        x0L = self._p_apply_np(x0T)
+        xe = np.stack([xL, vL, x0L], 0)[:, :, old_gather]  # (3, d, NEo, nd)
+        xe = xe.reshape(3 * self.dim, len(old_order), -1)
+        h1t = H1Transfer(self.opt.order_v, self.dim)
+        new_evals = h1t.element_values(plan, xe)           # (3d, NEn, nd)
+        l2t = L2Transfer(self.opt.order_e, self.dim)
+        new_e = l2t.element_values(plan, np.asarray(self.state["e"]))
+
+        # rebuild space arrays, then assemble L-vectors from element values
+        self._build_space_arrays()
+        sp = self.space
+        NEn = len(new_order)
+        nn = sp["nn"]
+        full = np.zeros((3 * self.dim, nn))
+        flat_g = sp["gather"].reshape(-1)
+        first = np.zeros(nn, dtype=np.int64)
+        first[flat_g[::-1]] = np.arange(flat_g.size - 1, -1, -1)
+        full[:, :] = new_evals.reshape(3 * self.dim, -1)[:, first]
+        d = self.dim
+        xT_new = full[0:d][:, sp["true_ids"]]
+        vT_new = full[d:2 * d][:, sp["true_ids"]]
+        x0T_new = full[2 * d:3 * d][:, sp["true_ids"]]
+        # essential velocity BCs on the new space
+        vT_new[np.asarray(self.ess_true)] = 0.0
+        self.state = {
+            "x": jnp.asarray(xT_new, self.dtype),
+            "v": jnp.asarray(vT_new, self.dtype),
+            "e": jnp.asarray(new_e, self.dtype),
+        }
+        self.x0_T = jnp.asarray(x0T_new, self.dtype)
+        self._build_geometry()
+        return True
+
+    def compute_density(self, S):
+        """rho = rho0 detJ0/detJ projected on L2 (per-zone, current mesh)."""
+        d = self.dim
+        xL = self._p_apply(S["x"])
+        x_e = xL[:, self.gather].transpose(1, 0, 2)
+        J = qop.jacobians(x_e, self.tables["H1B"], self.tables["H1G"], d)
+        detJ = smallmat.det(J, d)
+        D = self.tables["W"][None, :] * detJ
+        M = np.asarray(mop.l2_mass_matrices(D, self.tables["L2B"], d))
+        rt = np.asarray(self.rho0DetJ0w_j).reshape(
+            (self.NE,) + (self.nq1,) * d)
+        Bt = np.asarray(self.tables["L2B"]).T
+        out = rt
+        for k in range(d):
+            ax = out.ndim - 1 - k
+            out = np.moveaxis(np.tensordot(out, Bt.T, axes=[[ax], [0]]),
+                              -1, ax)
+        rhs = out.reshape(self.NE, self.ld)
+        return np.linalg.solve(M, rhs)
+
+    def e_norm(self):
+        return float(jnp.sqrt(jnp.sum(self.state["e"] ** 2)))
+
+
+def amr_qupdate(x_e, v_e, e_b, rho0DetJ0w, Jac0inv, tables, h0, depths,
+                *, dim, h1order, cfl, gamma):
+    """Sedov qupdate with the AMR variant's hard viscosity switch and
+    per-element depth-scaled h0; also returns per-zone max viscosity."""
+    d = dim
+    NE = x_e.shape[0]
+    H1B, H1G, L2B, W = (tables["H1B"], tables["H1G"], tables["L2B"],
+                        tables["W"])
+    nd1 = H1B.shape[1]
+    nq1 = H1B.shape[0]
+    NQ = nq1**d
+    l1d = L2B.shape[1]
+
+    xt = x_e.reshape((NE, d) + (nd1,) * d)
+    vt = v_e.reshape((NE, d) + (nd1,) * d)
+    Jt = top.eval_gradient(xt, H1B, H1G, d)
+    J = jnp.moveaxis(Jt.reshape(NE, d, NQ, d), 1, 2)
+    detJ = smallmat.det(J, d)
+    Jinv = smallmat.inv(J, d, detJ)
+    et = e_b.reshape((NE,) + (l1d,) * d)
+    e_q = top.eval_values(et, L2B, d).reshape(NE, NQ)
+    R = rho0DetJ0w / (detJ * W[None, :])
+    E = jnp.maximum(0.0, e_q)
+    P = (gamma - 1.0) * R * E
+    S = jnp.sqrt(gamma * (gamma - 1.0) * E)
+    eye = jnp.eye(d, dtype=x_e.dtype)
+    stress = -P[..., None, None] * eye
+
+    dVt = top.eval_gradient(vt, H1B, H1G, d)
+    dV = jnp.moveaxis(dVt.reshape(NE, d, NQ, d), 1, 2)
+    sgrad = jnp.einsum("...ab,...bk->...ak", dV, Jinv)
+    sym = 0.5 * (sgrad + jnp.swapaxes(sgrad, -2, -1))
+    mu, compr_dir = smallmat.sym_eig_smallest(sym, d)
+    Jpi = jnp.einsum("...ab,...bk->...ak", J, Jac0inv)
+    ph_dir = jnp.einsum("...ab,...b->...a", Jpi, compr_dir)
+    h0_e = h0 / (2.0 ** depths.astype(x_e.dtype))          # (NE,)
+    h = (h0_e[:, None] * jnp.linalg.norm(ph_dir, axis=-1)
+         / jnp.linalg.norm(compr_dir, axis=-1))
+    visc = 2.0 * R * h * h * jnp.abs(mu)
+    visc = visc + jnp.where(mu < 0.0, 0.5 * R * h * S, 0.0)  # hard switch
+    stress = stress + visc[..., None, None] * sym
+
+    sv = smallmat.min_singular_value(J, d)
+    h_min = sv / h1order
+    ih = 1.0 / h_min
+    idt = S * ih + 2.5 * visc * ih * ih / R
+    inf = jnp.asarray(jnp.inf, x_e.dtype)
+    dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, 1.0), inf)
+    dtq = jnp.where(detJ < 0.0, 0.0, dtq)
+    dt_est = jnp.min(dtq)
+
+    sJit = jnp.einsum("...vk,...gk->...gv", stress, Jinv)
+    sJit = sJit * (W[None, :] * detJ)[..., None, None]
+    zone_max_visc = jnp.max(visc, axis=1)
+    return sJit, dt_est, zone_max_visc
