@@ -102,42 +102,61 @@ def _jacobi_rotation(app, aqq, apq):
 def _eig3_smallest(A: jnp.ndarray, sweeps: int = 6):
     """Smallest eigenvalue + eigenvector of symmetric 3x3 batches.
 
-    Fixed-count cyclic Jacobi iteration (unrolled, branch-free): machine-
-    precision eigenvalues including the nearly-degenerate case where the
-    closed-form trigonometric method loses ~sqrt(eps) (arccos near +-1),
-    which showed up as O(1e-8) force noise on near-uniaxial velocity
-    gradients.  For exactly repeated smallest eigenvalues the accumulated
-    rotations leave the coordinate direction of the corresponding diagonal
-    entry, matching the reference's diagonal-case eigenvector convention
-    (mfem kernels CalcEigenvalues<3>, used at laghos_solver.cpp:1113).
+    Fixed-count cyclic Jacobi iteration, fully scalarized (the 6 unique
+    entries of the symmetric matrix and the 9 accumulated-rotation entries
+    are independent arrays, so the whole solve is branch-free elementwise
+    VPU arithmetic — no scatters, no batched 3x3 matmuls).  Machine-
+    precision eigenvalues including nearly-degenerate spectra where
+    closed-form trigonometric methods lose ~sqrt(eps).  For exactly
+    repeated smallest eigenvalues the rotations leave the coordinate
+    direction of the corresponding diagonal entry, matching the
+    reference's diagonal-case eigenvector convention (mfem kernels
+    CalcEigenvalues<3>, used at laghos_solver.cpp:1113).
     """
-    B = A
-    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
 
-    def rot_mat(c, s, p, q):
-        G = jnp.zeros(A.shape, A.dtype)
-        for k in range(3):
-            G = G.at[..., k, k].set(1.0)
-        G = G.at[..., p, p].set(c)
-        G = G.at[..., q, q].set(c)
-        G = G.at[..., p, q].set(s)
-        G = G.at[..., q, p].set(-s)
-        return G
+    def rot(app, aqq, apq, arp, arq):
+        """One Jacobi rotation in the (p,q) plane; r is the third index.
+        Returns updated (app, aqq, arp, arq, c, s); apq' = 0."""
+        c, s = _jacobi_rotation(app, aqq, apq)
+        app_n = c * c * app - 2.0 * s * c * apq + s * s * aqq
+        aqq_n = s * s * app + 2.0 * s * c * apq + c * c * aqq
+        arp_n = c * arp - s * arq
+        arq_n = s * arp + c * arq
+        return app_n, aqq_n, arp_n, arq_n, c, s
+
+    def vupd(c, s, p, q):
+        for i in range(3):
+            vip, viq = V[i][p], V[i][q]
+            V[i][p] = c * vip - s * viq
+            V[i][q] = s * vip + c * viq
 
     for _ in range(sweeps):
-        for (p, q) in ((0, 1), (0, 2), (1, 2)):
-            c, s = _jacobi_rotation(B[..., p, p], B[..., q, q],
-                                    B[..., p, q])
-            G = rot_mat(c, s, p, q)
-            B = jnp.einsum("...ji,...jk,...kl->...il", G, B, G)
-            V = jnp.einsum("...ij,...jk->...ik", V, G)
+        # (p,q) = (0,1), r = 2
+        a00, a11, a02, a12, c, s = rot(a00, a11, a01, a02, a12)
+        a01 = zero
+        vupd(c, s, 0, 1)
+        # (p,q) = (0,2), r = 1
+        a00, a22, a01, a12, c, s = rot(a00, a22, a02, a01, a12)
+        a02 = zero
+        vupd(c, s, 0, 2)
+        # (p,q) = (1,2), r = 0
+        a11, a22, a01, a02, c, s = rot(a11, a22, a12, a01, a02)
+        a12 = zero
+        vupd(c, s, 1, 2)
 
-    dia = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
+    dia = jnp.stack([a00, a11, a22], axis=-1)
     k = jnp.argmin(dia, axis=-1)
     lam_min = jnp.min(dia, axis=-1)
+    cols = jnp.stack(
+        [jnp.stack([V[0][j], V[1][j], V[2][j]], axis=-1) for j in range(3)],
+        axis=-2)  # (..., col j, i)
     vec = jnp.take_along_axis(
-        V, k[..., None, None].astype(jnp.int32).repeat(3, axis=-2), axis=-1
-    )[..., 0]
+        cols, k[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
     return lam_min, vec
 
 
@@ -169,5 +188,27 @@ def min_singular_value(J: jnp.ndarray, d: int) -> jnp.ndarray:
         R = jnp.hypot(F, G)
         return jnp.abs(Q - R)
     JtJ = jnp.einsum("...ka,...kb->...ab", J, J)
-    lam_min, _ = _eig3_smallest(JtJ)
+    lam_min = _eig3_values_min(JtJ)
     return jnp.sqrt(jnp.maximum(lam_min, 0.0))
+
+
+def _eig3_values_min(A: jnp.ndarray, sweeps: int = 6):
+    """Smallest eigenvalue only (no eigenvector accumulation)."""
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    zero = jnp.zeros_like(a00)
+
+    def rot(app, aqq, apq, arp, arq):
+        c, s = _jacobi_rotation(app, aqq, apq)
+        app_n = c * c * app - 2.0 * s * c * apq + s * s * aqq
+        aqq_n = s * s * app + 2.0 * s * c * apq + c * c * aqq
+        return app_n, aqq_n, c * arp - s * arq, s * arp + c * arq
+
+    for _ in range(sweeps):
+        a00, a11, a02, a12 = rot(a00, a11, a01, a02, a12)
+        a01 = zero
+        a00, a22, a01, a12 = rot(a00, a22, a02, a01, a12)
+        a02 = zero
+        a11, a22, a01, a02 = rot(a11, a22, a12, a01, a02)
+        a12 = zero
+    return jnp.minimum(jnp.minimum(a00, a11), a22)

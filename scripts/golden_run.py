@@ -32,6 +32,8 @@ GOLDEN = {
         4.0982431726e+02),
     9: (7, "rt2D", 1, 4.0, True, {"order_v": 4, "order_e": 3}, 2462,
         0.000050, 1.1792848680e+02),
+    # serial-variant row 7 (serial/README.md:96-105): tf 3.0 variant
+    10: (3, "box01_hex", 1, 3.0, True, {}, 528, 0.000180, 5.6505348812e+01),
 }
 
 
