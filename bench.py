@@ -49,13 +49,16 @@ def main():
     rs = int(os.environ.get("BENCH_RS", "3"))
     warm_steps = int(os.environ.get("BENCH_STEPS", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dts = os.environ.get("BENCH_DTYPE", "f64")
+    dtype = jnp.float64 if dts == "f64" else jnp.float32
 
     # unit cube, 2x2x2 hexes (the cube01_hex geometry), refined rs times
     m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
     for _ in range(rs):
         m = fmesh.uniform_refine(m)
-    opt = Options(problem=1, blast_energy=2.0, ode_solver=4)
-    h = Hydro(m, opt)
+    opt = Options(problem=1, blast_energy=2.0, ode_solver=4,
+                  cg_tol=1e-8 if dts == "f64" else 2e-7)
+    h = Hydro(m, opt, dtype=dtype)
 
     # short real trajectory for a representative state + iteration counts
     res = driver.run(h, t_final=0.6, max_steps=warm_steps, vis_steps=1000,
@@ -110,7 +113,7 @@ def main():
           f"FOM1 {FOM1:.2f} FOM2 {FOM2:.2f} FOM3 {FOM3:.2f}",
         file=sys.stderr)
     print(json.dumps({
-        "metric": f"3D Sedov Q2-Q1 FOM (rs{rs}, NE={h.NE}, f64, 1 chip)",
+        "metric": f"3D Sedov Q2-Q1 FOM (rs{rs}, NE={h.NE}, {dts}, 1 chip)",
         "value": round(FOM, 3),
         "unit": "megadofs*steps/s",
         "vs_baseline": None,
