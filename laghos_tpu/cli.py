@@ -91,6 +91,14 @@ def build_parser():
 def make_mesh(args):
     from .fem import mesh as fmesh
 
+    if args.epm:
+        # controlled-scaling mesh: n_devices x elems-per-device elements
+        # (README.md:271-278 semantics)
+        from .parallel.scaling import epm_mesh
+
+        m, _, _ = epm_mesh(args.dim, max(1, args.n_devices), args.epm,
+                           (args.xwidth, args.ywidth, args.zwidth))
+        return m
     if args.mesh != "default":
         from .data import get_mesh
 
@@ -134,6 +142,10 @@ def main(argv=None):
         ode_solver=args.ode_solver)
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     h = Hydro(m, opt, dtype=dtype)
+    if args.n_devices > 1:
+        from .parallel.sharding import device_mesh, shard_hydro
+
+        shard_hydro(h, device_mesh(args.n_devices))
     print(f"Number of kinematic (position, velocity) dofs: "
           f"{h.ndof * m.dim}")
     print(f"Number of specific internal energy dofs: {h.NE * h.ld}")

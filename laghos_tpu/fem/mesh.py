@@ -301,6 +301,28 @@ def load_mfem_mesh(path: str) -> Mesh:
     return Mesh(dim, verts[:, :dim].astype(np.float64), e, bv, ba)
 
 
+def write_mfem_mesh(mesh: Mesh, path: str):
+    """Write an MFEM mesh v1.0 ASCII file (inline vertex coordinates).
+
+    Interop surface for the reference toolchain (GLVis, VisIt-MFEM
+    readers); also round-trips through `load_mfem_mesh` for testing.
+    """
+    geom = {1: SEGMENT, 2: SQUARE, 3: CUBE}[mesh.dim]
+    bgeom = {1: 0, 2: SEGMENT, 3: SQUARE}[mesh.dim]
+    with open(path, "w") as f:
+        f.write("MFEM mesh v1.0\n\ndimension\n%d\n\n" % mesh.dim)
+        f.write("elements\n%d\n" % mesh.num_elems)
+        for row in mesh.elems:
+            f.write("1 %d %s\n" % (geom, " ".join(str(v) for v in row)))
+        f.write("\nboundary\n%d\n" % mesh.bdr_verts.shape[0])
+        for attr, row in zip(mesh.bdr_attr, mesh.bdr_verts):
+            f.write("%d %d %s\n" % (attr, bgeom,
+                                    " ".join(str(v) for v in row)))
+        f.write("\nvertices\n%d\n%d\n" % (mesh.num_verts, mesh.dim))
+        for v in mesh.verts:
+            f.write(" ".join(repr(float(c)) for c in v) + "\n")
+
+
 def uniform_refine(mesh: Mesh) -> Mesh:
     """One level of uniform (1:2^dim) refinement, conforming.
 

@@ -144,3 +144,14 @@ def test_ess_masks():
     on_y = (np.abs(x[:, 1]) < 1e-12) | (np.abs(x[:, 1] - 1) < 1e-12)
     assert np.array_equal(mx, on_x)
     assert np.array_equal(my, on_y)
+
+
+def test_mfem_mesh_roundtrip(tmp_path):
+    m = mesh.cartesian(2, (3, 2), (1.0, 1.0))
+    p = str(tmp_path / "rt.mesh")
+    mesh.write_mfem_mesh(m, p)
+    m2 = mesh.load_mfem_mesh(p)
+    assert m2.num_elems == m.num_elems
+    np.testing.assert_array_equal(m2.elems, m.elems)
+    np.testing.assert_allclose(m2.verts, m.verts)
+    np.testing.assert_array_equal(m2.bdr_attr, m.bdr_attr)
