@@ -43,8 +43,13 @@ def shard_hydro(hydro, mesh: Mesh):
     elem3 = NamedSharding(mesh, P("dd", None, None))
     elem4 = NamedSharding(mesh, P("dd", None, None, None))
     repl = NamedSharding(mesh, P())
-    lvec = NamedSharding(mesh, P(None, "dd"))
-    dof = NamedSharding(mesh, P("dd"))
+    # L-vectors replicate: dof counts are not device-divisible, and the
+    # scatter-add from sharded element contributions onto a replicated
+    # output compiles to exactly the all-reduce assembly the reference
+    # performs through its prolongation halo exchanges.  (A shard_map +
+    # ppermute surface-halo layout is the planned scaling upgrade.)
+    lvec = repl
+    dof = repl
 
     put = jax.device_put
     hydro.gather = put(hydro.gather, elem2)
