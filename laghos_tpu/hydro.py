@@ -54,6 +54,7 @@ class Options:
     delta_tol: float = 1e-12   # -dtol
     ode_solver: int = 4        # -s
     blast_position: tuple = (0.0, 0.0, 0.0)
+    use_pallas: bool = False   # fused Pallas physics kernel (3D, f32)
 
 
 def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
@@ -309,6 +310,25 @@ class Hydro:
         d = self.dim
         x_e = S["x"][:, self.gather].transpose(1, 0, 2)
         v_e = S["v"][:, self.gather].transpose(1, 0, 2)
+        if (self.opt.use_pallas and d == 3 and self.use_visc
+                and self.dtype == jnp.float32):
+            from .ops import pallas_qphys
+
+            J = qop.jacobians(x_e, self.tables["H1B"],
+                              self.tables["H1G"], d)
+            vt = v_e.reshape((self.NE, d) + (self.nd1,) * d)
+            dVt = top.eval_gradient(vt, self.tables["H1B"],
+                                    self.tables["H1G"], d)
+            dV = jnp.moveaxis(dVt.reshape(self.NE, d, self.NQ, d), 1, 2)
+            et = S["e"].reshape((self.NE,) + (self.l1d,) * d)
+            e_q = top.eval_values(et, self.tables["L2B"], d).reshape(
+                self.NE, self.NQ)
+            sJit, dtq, _ = pallas_qphys.physics_3d_pallas(
+                J, dV, self.Jac0inv_j, e_q, self.rho0DetJ0w_j,
+                self.gamma_j, self.tables["W"], h0=self.h0,
+                h1order=float(self.opt.order_v), cfl=self.opt.cfl,
+                use_vorticity=self.use_vort)
+            return sJit, jnp.min(dtq)
         return qop.qupdate(
             x_e, v_e, S["e"], self.gamma_j, self.rho0DetJ0w_j,
             self.Jac0inv_j, self.tables, self.h0,

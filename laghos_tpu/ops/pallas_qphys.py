@@ -1,0 +1,109 @@
+"""Pallas-fused pointwise quadrature physics (TPU VPU kernel).
+
+Fuses the ~80-op pointwise physics chain (ops/qphys.py) into a single
+VMEM-resident kernel: one read of (J, grad v, Jac0inv, e, mass) per point
+and one write of (stress.J^-T, dt, visc) — no HBM round-trips between the
+EOS / eigen-solve / viscosity / dt stages.  Production (f32) path; the
+f64 parity path stays on the XLA pipeline.
+
+Layout: per-point scalar fields stacked component-major, padded flat
+N -> (M, 128) so each program processes a (BM, 128) tile per component.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .qphys import physics_3d
+
+_BM = 8  # sublane rows per program
+
+
+def _kernel(J_ref, dV_ref, J0i_ref, S_ref, sJit_ref, dtq_ref, visc_ref,
+            *, h0, h1order, cfl, use_vorticity, hard_visc):
+    J = tuple(J_ref[k] for k in range(9))
+    dV = tuple(dV_ref[k] for k in range(9))
+    J0i = tuple(J0i_ref[k] for k in range(9))
+    e_q = S_ref[0]
+    rw = S_ref[1]
+    winv = S_ref[2]
+    sJit, dtq, visc = physics_3d(
+        J, dV, J0i, e_q, rw, S_ref[3], winv, h0_e=h0, h1order=h1order,
+        cfl=cfl, use_vorticity=use_vorticity, hard_visc=hard_visc)
+    for k in range(9):
+        sJit_ref[k] = sJit[k]
+    dtq_ref[...] = dtq
+    visc_ref[...] = visc
+
+
+def physics_3d_pallas(J, dV, J0i, e_q, rw, gamma, W, *, h0, h1order, cfl,
+                      use_vorticity=False, hard_visc=False,
+                      interpret=False):
+    """J, dV, J0i: (NE, NQ, 3, 3); e_q, rw: (NE, NQ); gamma: (NE,);
+    W: (NQ,). Returns (sJit (NE,NQ,3,3), dtq (NE,NQ), visc (NE,NQ))."""
+    NE, NQ = e_q.shape
+    N = NE * NQ
+    M = -(-N // 128)
+    Mp = -(-M // _BM) * _BM
+    Np = Mp * 128
+    dtype = e_q.dtype
+
+    def pack9(A):
+        flat = A.reshape(N, 9).T                       # (9, N)
+        out = jnp.zeros((9, Np), dtype)
+        out = out.at[:, :N].set(flat)
+        return out.reshape(9, Mp, 128)
+
+    def pack1(a, fill=0.0):
+        out = jnp.full((Np,), fill, dtype)
+        out = out.at[:N].set(a.reshape(-1))
+        return out.reshape(Mp, 128)
+
+    Jp = pack9(J)
+    dVp = pack9(dV)
+    J0ip = pack9(J0i)
+    gam = jnp.broadcast_to(gamma[:, None], (NE, NQ))
+    winv = jnp.broadcast_to((1.0 / W)[None, :], (NE, NQ))
+    # padded tail: rw=0, winv=0 -> R=0; e=0; J=I to keep things finite
+    Sp = jnp.stack([pack1(e_q), pack1(rw), pack1(winv),
+                    pack1(gam, fill=1.4)], axis=0)     # (4, Mp, 128)
+    eye = jnp.zeros((9, Mp, 128), dtype)
+    for k in (0, 4, 8):
+        eye = eye.at[k].set(1.0)
+    mask = (jax.lax.broadcasted_iota(
+        jnp.int32, (Mp * 128,), 0) < N).reshape(Mp, 128)
+    Jp = jnp.where(mask[None], Jp, eye)
+    J0ip = jnp.where(mask[None], J0ip, eye)
+
+    grid = (Mp // _BM,)
+    spec9 = pl.BlockSpec((9, _BM, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    spec4 = pl.BlockSpec((4, _BM, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((_BM, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _kernel, h0=h0, h1order=h1order, cfl=cfl,
+        use_vorticity=use_vorticity, hard_visc=hard_visc)
+    sJit, dtq, visc = pl.pallas_call(
+        kern,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[spec9, spec9, spec9, spec4],
+        out_specs=(spec9, spec1, spec1),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, Mp, 128), dtype),
+            jax.ShapeDtypeStruct((Mp, 128), dtype),
+            jax.ShapeDtypeStruct((Mp, 128), dtype),
+        ),
+    )(Jp, dVp, J0ip, Sp)
+    dtq = jnp.where(mask, dtq, jnp.inf)
+    sJit_out = sJit.reshape(9, Np)[:, :N].T.reshape(NE, NQ, 3, 3)
+    return (sJit_out, dtq.reshape(-1)[:N].reshape(NE, NQ),
+            visc.reshape(-1)[:N].reshape(NE, NQ))
