@@ -50,6 +50,9 @@ def main():
     warm_steps = int(os.environ.get("BENCH_STEPS", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     dts = os.environ.get("BENCH_DTYPE", "f64")
+    ok = int(os.environ.get("BENCH_OK", "2"))   # Q2-Q1 or Q4-Q3 (BASELINE)
+    ot = int(os.environ.get("BENCH_OT", str(ok - 1)))
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     dtype = jnp.float64 if dts == "f64" else jnp.float32
 
     # unit cube, 2x2x2 hexes (the cube01_hex geometry), refined rs times
@@ -57,6 +60,7 @@ def main():
     for _ in range(rs):
         m = fmesh.uniform_refine(m)
     opt = Options(problem=1, blast_energy=2.0, ode_solver=4,
+                  order_v=ok, order_e=ot, use_pallas=use_pallas,
                   cg_tol=1e-8 if dts == "f64" else 2e-7)
     h = Hydro(m, opt, dtype=dtype)
 
@@ -113,7 +117,8 @@ def main():
           f"FOM1 {FOM1:.2f} FOM2 {FOM2:.2f} FOM3 {FOM3:.2f}",
         file=sys.stderr)
     print(json.dumps({
-        "metric": f"3D Sedov Q2-Q1 FOM (rs{rs}, NE={h.NE}, {dts}, 1 chip)",
+        "metric": (f"3D Sedov Q{ok}-Q{ot} FOM (rs{rs}, NE={h.NE}, "
+                   f"{dts}{'+pallas' if use_pallas else ''}, 1 chip)"),
         "value": round(FOM, 3),
         "unit": "megadofs*steps/s",
         "vs_baseline": None,
