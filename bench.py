@@ -76,7 +76,7 @@ def main():
     sJit, _ = jax.block_until_ready(h._jq(S))
 
     # tiny-scale carries prevent XLA from dead-code-eliminating the body
-    eps = 1e-300
+    eps = 1e-300 if dts == "f64" else 1e-30
 
     t_q = _timed_loop(lambda s: _q_body(h, s, eps), S, iters)
 
