@@ -43,6 +43,7 @@ def qupdate(
     cfl: float,
     use_viscosity: bool,
     use_vorticity: bool,
+    elem_valid=None,   # (NE,) bool: mask padded elements (halo layouts)
 ):
     """Returns (stressJinvT (NE,NQ,d,d) indexed [gd,vd], dt_est scalar).
 
@@ -112,11 +113,14 @@ def qupdate(
     inf = jnp.asarray(jnp.inf, dtype=x_e.dtype)
     dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, 1.0), inf)
     dtq = jnp.where(detJ < 0.0, 0.0, dtq)
-    dt_est = jnp.min(dtq)
 
     # stressJinvT[gd, vd] = sum_k stress[vd,k] Jinv[gd,k] * w * detJ
     sJit = jnp.einsum("...vk,...gk->...gv", stress, Jinv)
     sJit = sJit * (W[None, :] * detJ)[..., None, None]
+    if elem_valid is not None:
+        dtq = jnp.where(elem_valid[:, None], dtq, inf)
+        sJit = jnp.where(elem_valid[:, None, None, None], sJit, 0.0)
+    dt_est = jnp.min(dtq)
     return sJit, dt_est
 
 

@@ -131,31 +131,14 @@ def gather_global(layout: HaloLayout, u_loc: np.ndarray, ndof: int):
     return out
 
 
-def halo_exchange_add(y, send_next, recv_prev, send_prev, recv_next,
-                      axis="dd"):
-    """Inside shard_map: add neighbor interface contributions.
+def halo_exchange_add(y, idx, axis="dd"):
+    """Inside shard_map: bidirectional halo assembly — add neighbor
+    interface contributions.  Both directions read the ORIGINAL (local)
+    contributions so nothing double-counts.
 
     y: (C, nloc) local assembled values (this device's contributions only).
+    idx: (send_next, recv_prev, send_prev, recv_next) local index arrays.
     """
-    D = jax.lax.axis_size(axis)
-    if D == 1:
-        return y
-    up = [(i, i + 1) for i in range(D - 1)]
-    down = [(i + 1, i) for i in range(D - 1)]
-    a = y[:, send_next]
-    from_prev = jax.lax.ppermute(a, axis, up)
-    y = y.at[:, recv_prev].add(from_prev)
-    b = y_orig_guard = None  # placeholder to keep linear flow clear
-    c = y[:, send_prev]
-    # NOTE: send_prev values must be the PRE-exchange contributions; using
-    # post-add values would double-count.  We exchange both directions from
-    # the original array instead.
-    return y
-
-
-def halo_exchange_add2(y, idx, axis="dd"):
-    """Correct bidirectional halo-assembly: both directions read the
-    original contributions."""
     send_next, recv_prev, send_prev, recv_next = idx
     D = jax.lax.axis_size(axis)
     if D == 1:

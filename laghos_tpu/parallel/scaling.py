@@ -35,11 +35,13 @@ def epm_mesh(dim: int, n_devices: int, elems_per_device: int,
              sizes=(1.0, 1.0, 1.0)):
     """[0,Sx]x[0,Sy]x[0,Sz] Cartesian mesh with n_devices*epm elements.
 
-    The device grid factors are absorbed into the leading mesh dimension so
-    a block partition of the element order aligns subdomain slabs with the
-    device mesh.
+    The device factor is absorbed into the LAST (slowest-varying) mesh
+    dimension so a contiguous block partition of the element order gives
+    clean slab subdomains with planar interfaces (the halo layout's
+    nearest-neighbor exchange pattern).
     """
-    dev = _factor(n_devices, dim)
     per = _factor(elems_per_device, dim)
-    n = [dev[k] * per[k] for k in range(dim)]
-    return fmesh.cartesian(dim, tuple(n), tuple(sizes)), tuple(n), tuple(dev)
+    n = list(sorted(per))
+    n[-1] = n[-1] * n_devices
+    return fmesh.cartesian(dim, tuple(n), tuple(sizes)), tuple(n), \
+        (n_devices,)
