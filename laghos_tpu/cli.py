@@ -82,6 +82,10 @@ def build_parser():
                         "every vis_steps")
     p.add_argument("--restore", default=None,
                    help="resume from an NPZ checkpoint")
+    p.add_argument("--debug-nans", action="store_true", dest="debug_nans",
+                   help="trap non-finite values in every kernel "
+                        "(jax debug_nans; the CheckFinite/MFEM_VERIFY "
+                        "equivalent, SURVEY §5)")
     p.add_argument("--profile", default=None,
                    help="write a jax profiler trace (Caliper-equivalent, "
                         "SURVEY §5) to this directory during the run")
@@ -124,6 +128,8 @@ def main(argv=None):
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from . import driver
