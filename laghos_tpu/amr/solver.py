@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import problems
 from ..fem import basis as fb
 from ..fem import quadrature as fq
 from ..ops import force as fop

@@ -8,8 +8,6 @@ Flag names follow laghos.cpp:181-278 so reference command lines translate
 from __future__ import annotations
 
 import argparse
-import os
-import sys
 
 import numpy as np
 

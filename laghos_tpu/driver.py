@@ -12,7 +12,6 @@ import dataclasses
 import time
 from typing import Callable, Optional
 
-import jax
 import numpy as np
 
 from .hydro import Hydro

@@ -21,7 +21,6 @@ import dataclasses
 
 import numpy as np
 
-from .basis import h1_gl_basis
 from .mesh import Mesh
 from .quadrature import gauss_lobatto
 

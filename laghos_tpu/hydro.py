@@ -17,8 +17,6 @@ the RK stages, the CG loops (lax.while_loop) and the dt estimate.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

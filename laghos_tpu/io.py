@@ -11,9 +11,7 @@ The high-order fields are sampled on a per-element refinement lattice
 
 from __future__ import annotations
 
-import base64
 import os
-import struct
 
 import numpy as np
 

@@ -14,7 +14,6 @@ eigen-decomposition of the symmetrized velocity gradient.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax.numpy as jnp
 

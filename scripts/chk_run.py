@@ -47,6 +47,8 @@ IT_NORMS = {
 
 
 def run_check(problem, dim, pa=True, max_steps=None, verbose=True):
+    """pa=False exercises the full-assembly solve path against the same
+    golden table (the reference checks matrix covers both, makefile:193)."""
     mfile = ("/root/reference/data/square01_quad.mesh" if dim == 2
              else "/root/reference/data/cube01_hex.mesh")
     m = fmesh.load_mfem_mesh(mfile)
@@ -78,4 +80,5 @@ def run_check(problem, dim, pa=True, max_steps=None, verbose=True):
 if __name__ == "__main__":
     problem = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    run_check(problem, dim)
+    pa = "--fa" not in sys.argv
+    run_check(problem, dim, pa=pa)
