@@ -47,7 +47,7 @@ def main():
     from laghos_tpu.hydro import Hydro, Options
 
     rs = int(os.environ.get("BENCH_RS", "3"))
-    warm_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    warm_steps = int(os.environ.get("BENCH_STEPS", "30"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     dts = os.environ.get("BENCH_DTYPE", "f64")
     ok = int(os.environ.get("BENCH_OK", "2"))   # Q2-Q1 or Q4-Q3 (BASELINE)

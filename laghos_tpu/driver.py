@@ -55,7 +55,12 @@ def run(
     energy_init = float(ie) + float(ke)
 
     t = t_init
-    dt = dt_init if dt_init is not None else float(hydro.dt_estimate(S))
+    if dt_init is not None:
+        dt = dt_init
+        sJit_prev = None
+    else:
+        dt0, sJit_prev = hydro.dt_estimate_full(S)
+        dt = float(dt0)
     last_step = False
     steps = 0
     ti = step_init
@@ -78,8 +83,10 @@ def run(
         if timing:
             S_new, dt_est, (h1it, l2it) = hydro.advance_timed(
                 S, dt, tim, count_stage1)
+            sJit_new = None
         else:
-            S_new, dt_est, (h1it, l2it) = hydro.advance(S, dt, count_stage1)
+            S_new, dt_est, (h1it, l2it), sJit_new = hydro.advance(
+                S, dt, count_stage1, sJit1=sJit_prev)
         count_stage1 = False
         steps += 1
         dt_est = float(dt_est)
@@ -92,6 +99,7 @@ def run(
             t = t_old
             S = S_old
             count_stage1 = True
+            sJit_prev = None  # qdata reset (laghos.cpp:773)
             if verbose:
                 print(f"Repeating step {ti}")
             # faithful to laghos.cpp:775 (including max_tsteps = -1)
@@ -100,6 +108,7 @@ def run(
             continue
         S = S_new
         t += dt
+        sJit_prev = sJit_new
         h1_iters += int(h1it)
         l2_iters += int(l2it)
         quad_steps += hydro.NE

@@ -424,9 +424,18 @@ class Hydro:
             e_rhs = e_rhs + self._taylor_source(S)
         return self._cg_energy(e_rhs)
 
-    def _mult(self, S):
-        """dS/dt (laghos_solver.cpp:308-327). Returns (dS, dtmin, stats)."""
-        sJit, dtmin = self._qupdate(S)
+    def _mult(self, S, sJit=None):
+        """dS/dt (laghos_solver.cpp:308-327). Returns (dS, dtmin, stats).
+
+        When `sJit` is provided, the quadrature data is reused instead of
+        recomputed — the reference's qdata memoization
+        (laghos_solver.cpp:807-814): stage 1 of every accepted step reuses
+        the qdata computed by the previous GetTimeStepEstimate.
+        """
+        if sJit is None:
+            sJit, dtmin = self._qupdate(S)
+        else:
+            dtmin = jnp.asarray(jnp.inf, self.dtype)
         dv, h1it = self._solve_velocity(sJit)
         de, l2it = self._solve_energy(S, sJit, S["v"])
         dS = {"x": S["v"], "v": dv, "e": de}
@@ -479,10 +488,13 @@ class Hydro:
         return {"x": V, "v": dv, "e": de}, dtm, (h1it, l2it)
 
     # -------------------------------------------------- steppers ---------
-    def _step(self, S, dt, count_stage1: bool, mult=None, rk2avg_stage=None):
+    def _step(self, S, dt, count_stage1: bool, mult=None, rk2avg_stage=None,
+              sJit1=None):
         """One RK step; returns (S_new, dt_min_of_counted_stages, stats)."""
         if mult is None:
             mult = self._mult
+        mult1 = (lambda Sc: mult(Sc)) if sJit1 is None else \
+            (lambda Sc: self._mult(Sc, sJit1))
         inf = jnp.asarray(jnp.inf, self.dtype)
         h1tot = jnp.asarray(0)
         l2tot = jnp.asarray(0)
@@ -500,22 +512,23 @@ class Hydro:
 
         s = self.opt.ode_solver
         if s == 7:
-            S_new = self._rk2avg(S, dt, count_stage1, acc, rk2avg_stage)
+            S_new = self._rk2avg(S, dt, count_stage1, acc, rk2avg_stage,
+                                 sJit1=sJit1)
         elif s == 1:
-            k1, dtm, st = mult(S)
+            k1, dtm, st = mult1(S)
             acc(dtm, st, count_stage1)
             S_new = ax(S, dt, k1)
         elif s == 2:
             a = 0.5
             b = 1.0 / (2.0 * a)
-            k1, dtm, st = mult(S)
+            k1, dtm, st = mult1(S)
             acc(dtm, st, count_stage1)
             y = ax(S, a * dt, k1)
             k2, dtm, st = mult(y)
             acc(dtm, st, True)
             S_new = ax(ax(S, (1.0 - b) * dt, k1), b * dt, k2)
         elif s == 3:
-            k1, dtm, st = mult(S)
+            k1, dtm, st = mult1(S)
             acc(dtm, st, count_stage1)
             y = ax(S, dt, k1)
             k2, dtm, st = mult(y)
@@ -529,7 +542,7 @@ class Hydro:
                 lambda s0, yy, kk: (s0 + 2.0 * (yy + dt * kk)) / 3.0,
                 S, y, k3)
         elif s == 4:
-            k1, dtm, st = mult(S)
+            k1, dtm, st = mult1(S)
             acc(dtm, st, count_stage1)
             y = ax(S, dt / 2, k1)
             k2, dtm, st = mult(y)
@@ -550,13 +563,18 @@ class Hydro:
             raise ValueError(f"unknown ode solver {s}")
         return S_new, dtacc, (h1tot, l2tot)
 
-    def _rk2avg(self, S, dt, count_stage1, acc, stage_fn=None):
+    def _rk2avg(self, S, dt, count_stage1, acc, stage_fn=None, sJit1=None):
         """Energy-conserving two-stage average scheme
         (laghos_solver.cpp:1447-1487)."""
         v0 = S["v"]
+        first = [sJit1]
 
         def default_stage(Scur):
-            sJit, dtm = self._qupdate(Scur)
+            if first[0] is not None:
+                sJit, dtm = first[0], jnp.asarray(jnp.inf, self.dtype)
+                first[0] = None
+            else:
+                sJit, dtm = self._qupdate(Scur)
             dv, h1it = self._solve_velocity(sJit)
             V = v0 + 0.5 * dt * dv
             de, l2it = self._solve_energy(Scur, sJit, V)
@@ -597,21 +615,33 @@ class Hydro:
         return out
 
     # -------------------------------------------------- public API -------
-    def advance(self, S, dt, count_stage1=False):
+    def advance(self, S, dt, count_stage1=False, sJit1=None):
         """Step + post-step dt estimate, one compiled call.
 
         Mirrors one iteration of the driver loop body (laghos.cpp:742-778):
         the returned dt_est is the min over every qupdate since the last
-        reset — the counted RK stage states plus the final state.
+        reset — the counted RK stage states plus the final state.  The
+        final qupdate's stress data is returned for reuse as the next
+        step's stage-1 qdata (the reference's memoization,
+        laghos_solver.cpp:807-814); pass it back as `sJit1`.
         """
-        key = bool(count_stage1)
+        key = (bool(count_stage1), sJit1 is not None)
         if key not in self._advance_cache:
-            def f(S, dt):
-                S_new, dtacc, stats = self._step(S, dt, key)
-                _, dt_final = self._qupdate(S_new)
-                return S_new, jnp.minimum(dtacc, dt_final), stats
+            if key[1]:
+                def f(S, dt, sj):
+                    S_new, dtacc, stats = self._step(S, dt, key[0],
+                                                     sJit1=sj)
+                    sj_new, dt_final = self._qupdate(S_new)
+                    return (S_new, jnp.minimum(dtacc, dt_final), stats,
+                            sj_new)
+            else:
+                def f(S, dt, sj):
+                    S_new, dtacc, stats = self._step(S, dt, key[0])
+                    sj_new, dt_final = self._qupdate(S_new)
+                    return (S_new, jnp.minimum(dtacc, dt_final), stats,
+                            sj_new)
             self._advance_cache[key] = jax.jit(f)
-        return self._advance_cache[key](S, dt)
+        return self._advance_cache[key](S, dt, sJit1)
 
     def advance_timed(self, S, dt, tim, count_stage1=False):
         """Like `advance` but with per-phase stopwatches (FOM mode)."""
@@ -628,10 +658,14 @@ class Hydro:
         return S_new, jnp.minimum(dtacc, dt_final), stats
 
     def _dt_estimate_impl(self, S):
-        _, dtmin = self._qupdate(S)
-        return dtmin
+        sJit, dtmin = self._qupdate(S)
+        return dtmin, sJit
 
     def dt_estimate(self, S):
+        return self._estimate(S)[0]
+
+    def dt_estimate_full(self, S):
+        """(dt_est, sJit) — seed for the stage-1 memoization."""
         return self._estimate(S)
 
     def _energies_impl(self, S):
