@@ -101,11 +101,14 @@ def main():
     n_mults = steps * rk_stages
     T1 = t_cg * n_mults * 3          # dim CG solves per Mult (batched here)
     T2 = t_f * n_mults               # force + transpose per Mult
-    T3 = t_q * (n_mults + steps)     # stages + dt estimate
+    # qupdates per step: stages 2..4 + the post-step estimate = rk_stages
+    # (stage 1 reuses the previous estimate's qdata, like the reference's
+    # memoization at laghos_solver.cpp:807-814)
+    T3 = t_q * n_mults
     H1iter_total = cg_iters_per_solve * n_mults * 3
     FOM1 = 1e-6 * H1_dofs * (H1iter_total / 3) / T1
     FOM2 = 1e-6 * (n_mults) * (H1_dofs + L2_dofs) / T2
-    FOM3 = 1e-6 * h.NE * (n_mults + steps) * h.NQ / T3
+    FOM3 = 1e-6 * h.NE * n_mults * h.NQ / T3
     TT = T1 + T2 + T3
     FOM = (FOM1 * T1 + FOM2 * T2 + FOM3 * T3) / TT
 
