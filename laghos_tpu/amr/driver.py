@@ -27,7 +27,7 @@ def run_amr(
 ):
     t = 0.0
     S = hydro.state
-    _, dt0, _ = hydro._qupdate(S)
+    _, dt0, _ = hydro._qupdate(hydro.ctx, S)
     dt = float(dt0)
     last_step = False
     steps = 0
@@ -40,7 +40,7 @@ def run_amr(
         if steps == max_steps:
             last_step = True
         S_old, t_old = S, t
-        S_new, dt_est, visc_max, _ = hydro._advance(S, dt)
+        S_new, dt_est, visc_max, _ = hydro.advance(S, dt)
         steps += 1
         dt_est = float(dt_est)
         if dt_est < dt:
@@ -65,9 +65,9 @@ def run_amr(
                       f"\t|e| = {en:.10e}  NE={hydro.NE}")
 
         # ---- AMR block (amr/laghos.cpp:628-719) -------------------------
-        est = np.asarray(visc_max)
+        est = np.asarray(visc_max)[:hydro.NE]
         # per-element min velocity component value
-        vL = hydro._p_apply_np(np.asarray(S["v"]))
+        vL = hydro._p_apply_np(np.asarray(S["v"])[:, :hydro.nt])
         v_elem = vL[:, np.asarray(hydro.space["gather"])]   # (d, NE, nd)
         v_min = v_elem.min(axis=(0, 2))
         order = hydro.forest.leaf_list()

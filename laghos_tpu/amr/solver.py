@@ -91,70 +91,136 @@ class AMRHydro:
             sp = self.space
             coords = sp["coords"]
             x0_T = coords[sp["true_ids"]].T                   # (d, nt)
-            v_T = np.zeros_like(x0_T)
-            e = self._initial_energy(coords)
-            self.state = {
-                "x": jnp.asarray(x0_T, self.dtype),
-                "v": jnp.asarray(v_T, self.dtype),
-                "e": jnp.asarray(e, self.dtype),
-            }
-            self.x0_T = jnp.asarray(x0_T, self.dtype)
-        self._build_geometry()
+            self.x0_T = x0_T
+            self._build_geometry()
+            self.state = self.pad_state(x0_T, np.zeros_like(x0_T),
+                                        self._initial_energy(coords))
+        else:
+            self._build_geometry()
+
+    @staticmethod
+    def _cap(n, quantum=64):
+        return max(quantum, -(-n // quantum) * quantum)
 
     def _build_space_arrays(self):
-        d = self.dim
         opt = self.opt
         sp = self.forest.build_space(opt.order_v)
         self.space = sp
         self.NE = self.forest.num_leaves
         self.nn = sp["nn"]
-        self.gather = jnp.asarray(sp["gather"])
-        self.true_ids = jnp.asarray(sp["true_ids"])
-        self.slave_ids = jnp.asarray(sp["slave_ids"])
-        self.masters = jnp.asarray(sp["masters"])
-        self.weights = jnp.asarray(sp["weights"], self.dtype)
         self.nt = sp["true_ids"].size
-        self.depths = jnp.asarray(self.forest.depths())
-        ess_n = sp["ess"]
-        self.ess_true = jnp.asarray(ess_n[:, sp["true_ids"]])
 
     def _build_geometry(self):
+        """Assemble the padded device context (single compile across AMR
+        events: every array has capacity-padded static shapes, so the
+        jitted advance only retraces when a capacity grows)."""
         d = self.dim
         opt = self.opt
         sp = self.space
+        NE, nn, nt = self.NE, self.nn, self.nt
+        cap_ne = self._cap(NE)
+        cap_nn = self._cap(nn + 1)       # +1 dead node slot
+        cap_nt = self._cap(nt + 1)       # +1 dead true slot
+        ns = sp["slave_ids"].size
+        cap_ns = self._cap(max(ns, 1), 16)
+        W = sp["masters"].shape[1] if ns else 1
+        dead_node = cap_nn - 1
+        dead_true = cap_nt - 1
+
+        gather = np.full((cap_ne, (opt.order_v + 1) ** d), dead_node,
+                         dtype=np.int32)
+        gather[:NE] = sp["gather"]
+        elem_valid = np.zeros(cap_ne, dtype=bool)
+        elem_valid[:NE] = True
+        true_ids = np.full(cap_nt, dead_node, dtype=np.int64)
+        true_ids[:nt] = sp["true_ids"]
+        true_valid = np.zeros(cap_nt)
+        true_valid[:nt] = 1.0
+        slave_ids = np.full(cap_ns, dead_node, dtype=np.int64)
+        masters = np.full((cap_ns, W), dead_true, dtype=np.int64)
+        weights = np.zeros((cap_ns, W))
+        if ns:
+            slave_ids[:ns] = sp["slave_ids"]
+            # master indices are into the true numbering (unpadded) — valid
+            masters[:ns] = sp["masters"]
+            weights[:ns] = sp["weights"]
+        ess_true = np.zeros((d, cap_nt), dtype=bool)
+        ess_true[:, :nt] = sp["ess"][:, sp["true_ids"]]
+        ess_nodes = np.zeros((d, cap_nn), dtype=bool)
+        ess_nodes[:, :nn] = sp["ess"]
+
         # t=0 geometry on the (possibly interpolated) initial config
-        x0_L = np.asarray(self._p_apply_np(np.asarray(self.x0_T)))
-        x0_e = x0_L[:, sp["gather"]].transpose(1, 0, 2)
-        J0 = np.asarray(qop.jacobians(
+        x0_L = self._p_apply_np(np.asarray(self.x0_T))     # (d, nn)
+        x0_pad = np.zeros((d, cap_nn))
+        x0_pad[:, :nn] = x0_L
+        x0_e = x0_pad[:, gather].transpose(1, 0, 2)
+        J0 = np.array(qop.jacobians(
             jnp.asarray(x0_e, self.dtype), self.tables["H1B"],
             self.tables["H1G"], d))
+        J0[~elem_valid] = np.eye(d)[None, None]
         detJ0 = np.linalg.det(J0)
-        self.Jac0inv_j = jnp.asarray(np.linalg.inv(J0), self.dtype)
-        # rho0 = 1 for the Sedov blast
-        self.rho0DetJ0w_j = jnp.asarray(self.Wnp[None, :] * detJ0,
-                                        self.dtype)
-        self.massD = self.rho0DetJ0w_j
-        vol = float(np.sum(self.Wnp[None, :] * detJ0))
-        # h0 from the BASE grid (constant; per-element depth scaling is
-        # applied inside qupdate, amr/laghos_solver.cpp:598-604)
+        Jac0inv = np.linalg.inv(J0)
+        rw = self.Wnp[None, :] * detJ0                     # rho0 = 1
+        rw[~elem_valid] = 0.0
+        vol = float(rw[elem_valid].sum())
         ne_base = int(np.prod(self.forest.base_n))
-        if d == 2:
-            h0 = np.sqrt(vol / ne_base)
-        else:
-            h0 = (vol / ne_base) ** (1.0 / 3.0)
-        self.h0 = h0 / opt.order_v
+        h0 = (np.sqrt(vol / ne_base) if d == 2
+              else (vol / ne_base) ** (1.0 / 3.0)) / opt.order_v
 
-        Me = np.asarray(mop.l2_mass_matrices(
-            self.massD, self.tables["L2B"], d))
-        self.Me_inv = jnp.asarray(np.linalg.inv(Me), self.dtype)
-        diag_n = mop.h1_mass_diag(self.gather, self.nn, self.massD,
-                                  self.tables["H1B"], d)
-        self.h1_dinv = 1.0 / diag_n[self.true_ids]
-        self.one_l2 = jnp.ones((self.NE, self.ld), self.dtype)
+        Me = np.array(mop.l2_mass_matrices(
+            jnp.asarray(rw, self.dtype), self.tables["L2B"], d))
+        Me[~elem_valid] = np.eye(self.ld)[None]
+        Me_inv = np.linalg.inv(Me)
+
+        depths = np.zeros(cap_ne, dtype=np.int32)
+        depths[:NE] = self.forest.depths()
+
+        ctx = {
+            "gather": jnp.asarray(gather),
+            "elem_valid": jnp.asarray(elem_valid),
+            "true_ids": jnp.asarray(true_ids),
+            "true_valid": jnp.asarray(true_valid, self.dtype),
+            "slave_ids": jnp.asarray(slave_ids),
+            "masters": jnp.asarray(masters),
+            "weights": jnp.asarray(weights, self.dtype),
+            "ess_true": jnp.asarray(ess_true),
+            "ess_nodes": jnp.asarray(ess_nodes),
+            "rho0DetJ0w": jnp.asarray(rw, self.dtype),
+            "Jac0inv": jnp.asarray(Jac0inv, self.dtype),
+            "massD": jnp.asarray(rw, self.dtype),
+            "Me_inv": jnp.asarray(Me_inv, self.dtype),
+            "depths": jnp.asarray(depths),
+            "h0": jnp.asarray(h0, self.dtype),
+        }
+        diag_n = np.array(mop.h1_mass_diag(
+            ctx["gather"], cap_nn, ctx["massD"], self.tables["H1B"], d))
+        # fold slave diag contributions onto masters (approximate Jacobi)
+        diag_t = diag_n[true_ids]
+        diag_t[~(true_valid > 0)] = 1.0
+        diag_t[diag_t == 0.0] = 1.0
+        ctx["h1_dinv"] = jnp.asarray(1.0 / diag_t, self.dtype)
+        self.ctx = ctx
+        self.cap_ne, self.cap_nn, self.cap_nt = cap_ne, cap_nn, cap_nt
         eps = np.finfo(np.float64).eps
         self.ftz_eps2 = eps * eps
-        self._advance = jax.jit(self._advance_impl)
-        self._emax = jax.jit(self._estimator_impl)
+        if not hasattr(self, "_advance_jit"):
+            self._advance_jit = jax.jit(self._advance_impl)
+
+    def advance(self, S, dt):
+        return self._advance_jit(S, jnp.asarray(dt, self.dtype), self.ctx)
+
+    def pad_state(self, xT, vT, e):
+        """Pad (d, nt)/(NE, ld) host arrays to capacity device arrays."""
+        d = self.dim
+        xp = np.zeros((d, self.cap_nt))
+        vp = np.zeros((d, self.cap_nt))
+        ep = np.zeros((self.cap_ne, self.ld))
+        xp[:, :self.nt] = xT
+        vp[:, :self.nt] = vT
+        ep[:self.NE] = e
+        return {"x": jnp.asarray(xp, self.dtype),
+                "v": jnp.asarray(vp, self.dtype),
+                "e": jnp.asarray(ep, self.dtype)}
 
     # ------------------------------------------------------------------
     def _initial_energy(self, coords):
@@ -198,15 +264,16 @@ class AMRHydro:
         e[corner] = out.reshape(-1)
         return e
 
-    # ------------------------------------------------------------------
-    def _p_apply(self, xT):
-        """true (C, nt) -> full nodes (C, nn)."""
+    # ---------------- jitted compute (ctx = padded device arrays) -------
+    def _p_apply(self, ctx, xT):
+        """true (C, nt_cap) -> full nodes (C, nn_cap)."""
         C = xT.shape[0]
-        xL = jnp.zeros((C, self.nn), self.dtype)
-        xL = xL.at[:, self.true_ids].set(xT)
-        if self.slave_ids.size:
-            sv = jnp.einsum("csw,sw->cs", xT[:, self.masters], self.weights)
-            xL = xL.at[:, self.slave_ids].set(sv)
+        nn = ctx["ess_nodes"].shape[-1]
+        xL = jnp.zeros((C, nn), self.dtype)
+        xL = xL.at[:, ctx["true_ids"]].set(xT)
+        sv = jnp.einsum("csw,sw->cs", xT[:, ctx["masters"]],
+                        ctx["weights"])
+        xL = xL.at[:, ctx["slave_ids"]].set(sv)
         return xL
 
     def _p_apply_np(self, xT):
@@ -220,82 +287,87 @@ class AMRHydro:
             xL[:, sp["slave_ids"]] = sv
         return xL
 
-    def _pT_apply(self, yL):
-        yT = yL[:, self.true_ids]
-        if self.slave_ids.size:
-            contrib = yL[:, self.slave_ids, None] * self.weights[None]
-            yT = yT.at[:, self.masters.reshape(-1)].add(
-                contrib.reshape(yL.shape[0], -1))
-        return yT
+    def _pT_apply(self, ctx, yL):
+        yT = yL[:, ctx["true_ids"]]
+        # padded true ids point at the dead node -> they accumulate junk;
+        # clear via the true-dof validity mask afterwards
+        contrib = yL[:, ctx["slave_ids"], None] * ctx["weights"][None]
+        yT = yT.at[:, ctx["masters"].reshape(-1)].add(
+            contrib.reshape(yL.shape[0], -1))
+        return yT * ctx["true_valid"][None, :]
 
-    # ------------------------------------------------------------------
-    def _qupdate(self, S):
+    def _qupdate(self, ctx, S):
         d = self.dim
-        xL = self._p_apply(S["x"])
-        vL = self._p_apply(S["v"])
-        x_e = xL[:, self.gather].transpose(1, 0, 2)
-        v_e = vL[:, self.gather].transpose(1, 0, 2)
+        xL = self._p_apply(ctx, S["x"])
+        vL = self._p_apply(ctx, S["v"])
+        x_e = xL[:, ctx["gather"]].transpose(1, 0, 2)
+        v_e = vL[:, ctx["gather"]].transpose(1, 0, 2)
         return amr_qupdate(
-            x_e, v_e, S["e"], self.rho0DetJ0w_j, self.Jac0inv_j,
-            self.tables, self.h0, self.depths, dim=d,
-            h1order=self.h1order, cfl=self.opt.cfl, gamma=1.4)
+            x_e, v_e, S["e"], ctx["rho0DetJ0w"], ctx["Jac0inv"],
+            self.tables, ctx["h0"], ctx["depths"], dim=d,
+            h1order=self.h1order, cfl=self.opt.cfl, gamma=1.4,
+            elem_valid=ctx["elem_valid"])
 
-    def _solve_velocity(self, sJit):
+    def _solve_velocity(self, ctx, sJit):
         d = self.dim
-        Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
+        nn = ctx["ess_nodes"].shape[-1]
+        one_l2 = jnp.ones(ctx["rho0DetJ0w"].shape[:1] + (self.ld,),
+                          self.dtype)
+        Fone = fop.force_mult(one_l2, sJit, self.tables, dim=d,
                               ftz_eps2=self.ftz_eps2)
-        rhs_L = mop.e_to_l(jnp.swapaxes(Fone, 0, 1), self.gather, self.nn)
-        rhs = -self._pT_apply(rhs_L)
-        rhs = jnp.where(self.ess_true, 0.0, rhs)
+        rhs_L = mop.e_to_l(jnp.swapaxes(Fone, 0, 1), ctx["gather"], nn)
+        rhs = -self._pT_apply(ctx, rhs_L)
+        rhs = jnp.where(ctx["ess_true"], 0.0, rhs)
 
         def apply_A(uT):
-            uL = self._p_apply(uT)
-            yL = mop.h1_mass_apply(uL, self.gather, self.nn, self.massD,
+            uL = self._p_apply(ctx, uT)
+            yL = mop.h1_mass_apply(uL, ctx["gather"], nn, ctx["massD"],
                                    self.tables["H1B"], d)
-            yT = self._pT_apply(yL)
-            return jnp.where(self.ess_true, 0.0, yT)
+            yT = self._pT_apply(ctx, yL)
+            return jnp.where(ctx["ess_true"], 0.0, yT)
 
         flat = rhs.reshape(1, -1)
 
         def apply_flat(u):
             return apply_A(u.reshape(d, -1)).reshape(1, -1)
 
-        dinv = jnp.broadcast_to(self.h1_dinv[None, :], (d, self.nt))
-        dinv = jnp.where(self.ess_true, 1.0, dinv).reshape(1, -1)
+        nt = ctx["true_ids"].shape[0]
+        dinv = jnp.broadcast_to(ctx["h1_dinv"][None, :], (d, nt))
+        dinv = jnp.where(ctx["ess_true"], 1.0, dinv).reshape(1, -1)
         res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
                  precond=lambda r: r * dinv)
         return res.x.reshape(d, -1), jnp.sum(res.iters)
 
-    def _solve_energy(self, sJit, vT):
+    def _solve_energy(self, ctx, sJit, vT):
         d = self.dim
-        vL = self._p_apply(vT)
-        v_e = vL[:, self.gather].transpose(1, 0, 2)
+        vL = self._p_apply(ctx, vT)
+        v_e = vL[:, ctx["gather"]].transpose(1, 0, 2)
         e_rhs = fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
-        de = jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
+        de = jnp.einsum("eij,ej->ei", ctx["Me_inv"], e_rhs)
         return de
 
-    def _mult(self, S):
-        sJit, dtmin, visc_max = self._qupdate(S)
-        dv, h1it = self._solve_velocity(sJit)
-        de = self._solve_energy(sJit, S["v"])
+    def _mult(self, ctx, S):
+        sJit, dtmin, visc_max = self._qupdate(ctx, S)
+        dv, h1it = self._solve_velocity(ctx, sJit)
+        de = self._solve_energy(ctx, sJit, S["v"])
         return ({"x": S["v"], "v": dv, "e": de}, dtmin, visc_max, h1it)
 
-    def _advance_impl(self, S, dt):
+    def _advance_impl(self, S, dt, ctx):
         """RK4 step + dt estimate + per-zone max viscosity estimator."""
         ax = lambda a, c, b: jax.tree_util.tree_map(
             lambda u, v: u + c * v, a, b)
-        k1, dtm1, v1, i1 = self._mult(S)
+        k1, dtm1, v1, i1 = self._mult(ctx, S)
         y = ax(S, dt / 2, k1)
-        k2, dtm2, v2, i2 = self._mult(y)
+        k2, dtm2, v2, i2 = self._mult(ctx, y)
         y = ax(S, dt / 2, k2)
-        k3, dtm3, v3, i3 = self._mult(y)
+        k3, dtm3, v3, i3 = self._mult(ctx, y)
         y = ax(S, dt, k3)
-        k4, dtm4, v4, i4 = self._mult(y)
+        k4, dtm4, v4, i4 = self._mult(ctx, y)
         S_new = jax.tree_util.tree_map(
             lambda s0, a1, a2, a3, a4:
             s0 + dt / 6.0 * (a1 + 2 * a2 + 2 * a3 + a4),
             S, k1, k2, k3, k4)
-        _, dtm5, v5 = self._qupdate(S_new)
+        _, dtm5, v5 = self._qupdate(ctx, S_new)
         dt_est = jnp.minimum(jnp.minimum(dtm2, dtm3),
                              jnp.minimum(dtm4, dtm5))
         # the estimator is the zone-max viscosity of the LAST qupdate
@@ -326,9 +398,11 @@ class AMRHydro:
         new_order = list(self.forest.leaf_list())
         plan = TransferPlan(old_order, new_order, self.dim)
 
-        # old element values of the H1 fields
-        xT = np.asarray(self.state["x"])
-        vT = np.asarray(self.state["v"])
+        # old element values of the H1 fields (strip capacity padding)
+        old_nt = self.nt
+        xT = np.asarray(self.state["x"])[:, :old_nt]
+        vT = np.asarray(self.state["v"])[:, :old_nt]
+        e_old = np.asarray(self.state["e"])[:len(old_order)]
         x0T = np.asarray(self.x0_T)
         xL = self._p_apply_np(xT)
         vL = self._p_apply_np(vT)
@@ -338,7 +412,7 @@ class AMRHydro:
         h1t = H1Transfer(self.opt.order_v, self.dim)
         new_evals = h1t.element_values(plan, xe)           # (3d, NEn, nd)
         l2t = L2Transfer(self.opt.order_e, self.dim)
-        new_e = l2t.element_values(plan, np.asarray(self.state["e"]))
+        new_e = l2t.element_values(plan, e_old)
 
         # rebuild space arrays, then assemble L-vectors from element values
         self._build_space_arrays()
@@ -355,42 +429,44 @@ class AMRHydro:
         vT_new = full[d:2 * d][:, sp["true_ids"]]
         x0T_new = full[2 * d:3 * d][:, sp["true_ids"]]
         # essential velocity BCs on the new space
-        vT_new[np.asarray(self.ess_true)] = 0.0
-        self.state = {
-            "x": jnp.asarray(xT_new, self.dtype),
-            "v": jnp.asarray(vT_new, self.dtype),
-            "e": jnp.asarray(new_e, self.dtype),
-        }
-        self.x0_T = jnp.asarray(x0T_new, self.dtype)
+        vT_new[sp["ess"][:, sp["true_ids"]]] = 0.0
+        self.x0_T = x0T_new
         self._build_geometry()
+        self.state = self.pad_state(xT_new, vT_new, new_e)
         return True
 
     def compute_density(self, S):
-        """rho = rho0 detJ0/detJ projected on L2 (per-zone, current mesh)."""
+        """rho = rho0 detJ0/detJ projected on L2 (per-zone, current mesh;
+        valid elements only)."""
         d = self.dim
-        xL = self._p_apply(S["x"])
-        x_e = xL[:, self.gather].transpose(1, 0, 2)
-        J = qop.jacobians(x_e, self.tables["H1B"], self.tables["H1G"], d)
-        detJ = smallmat.det(J, d)
-        D = self.tables["W"][None, :] * detJ
-        M = np.asarray(mop.l2_mass_matrices(D, self.tables["L2B"], d))
-        rt = np.asarray(self.rho0DetJ0w_j).reshape(
-            (self.NE,) + (self.nq1,) * d)
-        Bt = np.asarray(self.tables["L2B"]).T
+        ctx = self.ctx
+        xL = np.asarray(self._p_apply(ctx, S["x"]))
+        x_e = xL[:, np.asarray(ctx["gather"])[:self.NE]].transpose(1, 0, 2)
+        J = np.asarray(qop.jacobians(
+            jnp.asarray(x_e, self.dtype), self.tables["H1B"],
+            self.tables["H1G"], d))
+        detJ = np.linalg.det(J)
+        D = self.Wnp[None, :] * detJ
+        M = np.asarray(mop.l2_mass_matrices(
+            jnp.asarray(D, self.dtype), self.tables["L2B"], d))
+        rw = np.asarray(ctx["rho0DetJ0w"])[:self.NE]
+        rt = rw.reshape((self.NE,) + (self.nq1,) * d)
+        B = np.asarray(self.tables["L2B"])
         out = rt
         for k in range(d):
             ax = out.ndim - 1 - k
-            out = np.moveaxis(np.tensordot(out, Bt.T, axes=[[ax], [0]]),
+            out = np.moveaxis(np.tensordot(out, B, axes=[[ax], [0]]),
                               -1, ax)
         rhs = out.reshape(self.NE, self.ld)
-        return np.linalg.solve(M, rhs)
+        return np.linalg.solve(M, rhs[..., None])[..., 0]
 
     def e_norm(self):
-        return float(jnp.sqrt(jnp.sum(self.state["e"] ** 2)))
+        e = np.asarray(self.state["e"])[:self.NE]
+        return float(np.sqrt((e ** 2).sum()))
 
 
 def amr_qupdate(x_e, v_e, e_b, rho0DetJ0w, Jac0inv, tables, h0, depths,
-                *, dim, h1order, cfl, gamma):
+                *, dim, h1order, cfl, gamma, elem_valid=None):
     """Sedov qupdate with the AMR variant's hard viscosity switch and
     per-element depth-scaled h0; also returns per-zone max viscosity."""
     d = dim
@@ -438,9 +514,14 @@ def amr_qupdate(x_e, v_e, e_b, rho0DetJ0w, Jac0inv, tables, h0, depths,
     inf = jnp.asarray(jnp.inf, x_e.dtype)
     dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, 1.0), inf)
     dtq = jnp.where(detJ < 0.0, 0.0, dtq)
-    dt_est = jnp.min(dtq)
 
     sJit = jnp.einsum("...vk,...gk->...gv", stress, Jinv)
     sJit = sJit * (W[None, :] * detJ)[..., None, None]
-    zone_max_visc = jnp.max(visc, axis=1)
+    if elem_valid is not None:
+        sJit = jnp.where(elem_valid[:, None, None, None], sJit, 0.0)
+        dtq = jnp.where(elem_valid[:, None], dtq, inf)
+    dt_est = jnp.min(dtq)
+    zone_max_visc = jnp.max(jnp.where(
+        elem_valid[:, None], visc, 0.0) if elem_valid is not None else visc,
+        axis=1)
     return sJit, dt_est, zone_max_visc

@@ -81,9 +81,8 @@ def run(
         S_old, t_old = S, t
 
         if timing:
-            S_new, dt_est, (h1it, l2it) = hydro.advance_timed(
-                S, dt, tim, count_stage1)
-            sJit_new = None
+            S_new, dt_est, (h1it, l2it), sJit_new = hydro.advance_timed(
+                S, dt, tim, count_stage1, sJit1=sJit_prev)
         else:
             S_new, dt_est, (h1it, l2it), sJit_new = hydro.advance(
                 S, dt, count_stage1, sJit1=sJit_prev)

@@ -441,14 +441,21 @@ class Hydro:
         dS = {"x": S["v"], "v": dv, "e": de}
         return dS, dtmin, (h1it, l2it)
 
-    def _mult_timed(self, S, tim):
+    def _mult_timed(self, S, tim, sJit=None):
         """Phase-timed RHS evaluation with device fences, for FOM runs
-        (timing semantics of laghos_solver.cpp:349-489)."""
+        (timing semantics of laghos_solver.cpp:349-489).  A provided sJit
+        reuses the previous estimate's qdata without charging sw_qdata,
+        exactly like the reference's memoized stage 1."""
         from .timing import block
 
-        with tim.phase("qdata"):
-            sJit, dtmin = block(self._jq(S))
-        tim.quad_tstep += self.NE
+        import jax.numpy as jnp
+
+        if sJit is None:
+            with tim.phase("qdata"):
+                sJit, dtmin = block(self._jq(S))
+            tim.quad_tstep += self.NE
+        else:
+            dtmin = jnp.asarray(jnp.inf, self.dtype)
         with tim.phase("force"):
             raw = block(self._jforce1(sJit))
         B = self._jprep_v(raw)
@@ -643,19 +650,24 @@ class Hydro:
             self._advance_cache[key] = jax.jit(f)
         return self._advance_cache[key](S, dt, sJit1)
 
-    def advance_timed(self, S, dt, tim, count_stage1=False):
+    def advance_timed(self, S, dt, tim, count_stage1=False, sJit1=None):
         """Like `advance` but with per-phase stopwatches (FOM mode)."""
         from .timing import block
 
+        first = [None if count_stage1 else sJit1]
+
+        def mult(s):
+            sj, first[0] = first[0], None
+            return self._mult_timed(s, tim, sJit=sj)
+
         S_new, dtacc, stats = self._step(
-            S, dt, count_stage1,
-            mult=lambda s: self._mult_timed(s, tim),
+            S, dt, count_stage1, mult=mult,
             rk2avg_stage=lambda s, v0, dtt: self._rk2avg_stage_timed(
                 s, v0, dtt, tim))
         with tim.phase("qdata"):
-            _, dt_final = block(self._jq(S_new))
+            sj_new, dt_final = block(self._jq(S_new))
         tim.quad_tstep += self.NE
-        return S_new, jnp.minimum(dtacc, dt_final), stats
+        return S_new, jnp.minimum(dtacc, dt_final), stats, sj_new
 
     def _dt_estimate_impl(self, S):
         sJit, dtmin = self._qupdate(S)
