@@ -1,0 +1,53 @@
+"""AMR golden runner (amr/README.md:98-103 table).
+
+Run 1: -p 1 -m square01_quad.mesh -rs 4 -tf 0.8 -amr
+       -> step 2374, dt 0.000308, |e| 90.9397751791
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("CHK_PLATFORM", "cpu"))
+
+from laghos_tpu.amr.driver import run_amr
+from laghos_tpu.amr.forest import Forest
+from laghos_tpu.amr.solver import AMRHydro
+from laghos_tpu.hydro import Options
+
+ROWS = {
+    1: {"rs": 4, "tf": 0.8, "ok": 2, "ot": 1, "rt": 2e-4,
+        "ref": (2374, 0.000308, 90.9397751791)},
+    2: {"rs": 4, "tf": 0.8, "ok": 3, "ot": 2, "rt": 2e-4,
+        "ref": (2727, 0.000458, 168.0063715464)},
+}
+
+
+def main(row=1, max_steps=-1):
+    cfg = ROWS[row]
+    f = Forest(2, (2, 2), (1.0, 1.0), max_depth=cfg["rs"])
+    # initial RefineAtVertex at the blast corner, rs times
+    # (amr/laghos.cpp:199-209)
+    for _ in range(cfg["rs"]):
+        corner = [k for k in f.leaf_list() if all(v == 0 for v in k[1])]
+        f.refine(corner)
+    opt = Options(problem=1, blast_energy=0.25, order_v=cfg["ok"],
+                  order_e=cfg["ot"], cg_tol=1e-8)
+    h = AMRHydro(f, opt)
+    print(f"initial leaves: {h.NE}")
+    res = run_amr(h, t_final=cfg["tf"], ref_threshold=cfg["rt"],
+                  max_steps=max_steps, vis_steps=25, verbose=True)
+    step, dt, norm = cfg["ref"]
+    rel = abs(res["e_norm"] - norm) / norm
+    print(f"AMR row {row}: steps {res['steps']} (ref {step}), "
+          f"dt {res['dt']:.6f} (ref {dt}), |e| {res['e_norm']:.10f} "
+          f"(ref {norm}, rel {rel:.2e}), NE_final {res['NE']}")
+
+
+if __name__ == "__main__":
+    row = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    ms = int(sys.argv[2]) if len(sys.argv) > 2 else -1
+    main(row, ms)
