@@ -38,7 +38,7 @@ def test_halo_advance_matches_conforming():
     hh = HaloHydro(h, n_devices=4)
     dt = float(h.dt_estimate(h.S0))
 
-    S1, est1, _ = h.advance(h.S0, dt)
+    S1, est1, _, _ = h.advance(h.S0, dt)
     S2, est2 = hh.advance(hh.S0, dt)
     assert np.isclose(float(est1), float(est2), rtol=1e-10)
 
