@@ -639,14 +639,16 @@ class Hydro:
                     S_new, dtacc, stats = self._step(S, dt, key[0],
                                                      sJit1=sj)
                     sj_new, dt_final = self._qupdate(S_new)
-                    return (S_new, jnp.minimum(dtacc, dt_final), stats,
-                            sj_new)
+                    dt_est = self._guard_finite(
+                        S_new, jnp.minimum(dtacc, dt_final))
+                    return S_new, dt_est, stats, sj_new
             else:
                 def f(S, dt, sj):
                     S_new, dtacc, stats = self._step(S, dt, key[0])
                     sj_new, dt_final = self._qupdate(S_new)
-                    return (S_new, jnp.minimum(dtacc, dt_final), stats,
-                            sj_new)
+                    dt_est = self._guard_finite(
+                        S_new, jnp.minimum(dtacc, dt_final))
+                    return S_new, dt_est, stats, sj_new
             self._advance_cache[key] = jax.jit(f)
         return self._advance_cache[key](S, dt, sJit1)
 
@@ -668,6 +670,17 @@ class Hydro:
             sj_new, dt_final = block(self._jq(S_new))
         tim.quad_tstep += self.NE
         return S_new, jnp.minimum(dtacc, dt_final), stats, sj_new
+
+    def _guard_finite(self, S_new, dt_est):
+        """Force step rejection for non-finite states.
+
+        The reference rejects inverted/blown states through dt_est = 0
+        (laghos_solver.cpp:1144-1148); NaN/Inf states (e.g. after a solver
+        breakdown) must not slip past the `dt_est < dt` comparison, since
+        NaN compares false."""
+        ok = jnp.isfinite(jnp.sum(S_new["v"]) + jnp.sum(S_new["e"])
+                          + jnp.sum(S_new["x"]))
+        return jnp.where(ok, dt_est, 0.0)
 
     def _dt_estimate_impl(self, S):
         sJit, dtmin = self._qupdate(S)

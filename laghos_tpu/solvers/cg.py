@@ -58,6 +58,14 @@ def cg(
 
     def body(state):
         x, r, d, Ad, nom, den, it, active, iters = state
+        # Breakdown guard: an SPD operator gives den > 0; den <= 0 can
+        # only be roundoff/underflow noise (observed with TPU double-float
+        # f64 emulation on ~1e-30-scale residuals) — iterating further
+        # amplifies garbage, so the column freezes at its current iterate
+        # (mfem CGSolver prints "not positive definite" here).
+        broke = jnp.logical_and(active, den <= 0.0)
+        iters = jnp.where(broke, it, iters)
+        active = jnp.logical_and(active, jnp.logical_not(broke))
         safe_den = jnp.where(den == 0.0, 1.0, den)
         alpha = nom / safe_den
         am = jnp.where(active, alpha, 0.0)[..., None]
