@@ -137,6 +137,22 @@ def main(argv=None):
     m = make_mesh(args)
     print(f"Number of zones in the serial mesh: {m.num_elems}")
 
+    from .fem.simplex_mesh import TriMesh
+
+    if isinstance(m, TriMesh):
+        # triangle meshes run on the simplex (FA) solver
+        from .simplex_hydro import TriHydro
+
+        th = TriHydro(m, Options(
+            problem=args.problem, order_v=args.order_v,
+            order_e=args.order_e, order_q=args.order_q, cfl=args.cfl,
+            cg_tol=args.cg_tol, cg_max_iter=args.cg_max_iter))
+        S, t, steps = th.run(args.t_final, max_steps=args.max_steps,
+                             verbose=True)
+        en = float((np.asarray(S["e"]) ** 2).sum()) ** 0.5
+        print(f"step {steps:5d},\tt = {t:.4f},\t|e| = {en:.10e}")
+        return None
+
     opt = Options(
         problem=args.problem, order_v=args.order_v, order_e=args.order_e,
         order_q=args.order_q, cfl=args.cfl, cg_tol=args.cg_tol,

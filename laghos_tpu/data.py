@@ -54,7 +54,12 @@ def get_mesh(name_or_path: str) -> fmesh.Mesh:
     if base.endswith(".mesh"):
         base = base[:-5]
     if os.path.exists(name_or_path):
-        return fmesh.load_mfem_mesh(name_or_path)
+        try:
+            return fmesh.load_mfem_mesh(name_or_path)
+        except NotImplementedError:
+            from .fem.simplex_mesh import load_tri_mesh
+
+            return load_tri_mesh(name_or_path)
     m = _builtin(base)
     if m is None:
         raise FileNotFoundError(
