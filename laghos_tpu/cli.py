@@ -17,12 +17,12 @@ def build_parser():
         prog="laghos_tpu", description="TPU-native Lagrangian hydrodynamics")
     p.add_argument("-dim", "--dimension", type=int, default=3, dest="dim")
     p.add_argument("-m", "--mesh", default="default", dest="mesh")
-    p.add_argument("-nx", "--xelems", type=int, default=2)
-    p.add_argument("-ny", "--yelems", type=int, default=2)
-    p.add_argument("-nz", "--zelems", type=int, default=2)
+    p.add_argument("-nx", "--xelems", type=int, default=2, dest="nx")
+    p.add_argument("-ny", "--yelems", type=int, default=2, dest="ny")
+    p.add_argument("-nz", "--zelems", type=int, default=2, dest="nz")
     p.add_argument("-E0", "--blast-energy", type=float, default=1.0,
                    dest="blast_energy")
-    p.add_argument("-Sx", "--xwidth", type=float, default=1.0)
+    p.add_argument("-Sx", "--xwidth", type=float, default=1.0, dest="xwidth")
     p.add_argument("-Sy", "--ywidth", type=float, default=1.0)
     p.add_argument("-Sz", "--zwidth", type=float, default=1.0)
     p.add_argument("-rs", "--refine-serial", type=int, default=2,

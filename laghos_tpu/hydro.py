@@ -731,7 +731,7 @@ class Hydro:
         rt = self.rho0DetJ0w_j.reshape((self.NE,) + (self.nq1,) * d)
         rhs = top.eval_transpose(rt, self.tables["L2B"].T, d).reshape(
             self.NE, self.ld)
-        return jnp.linalg.solve(M, rhs)
+        return jnp.linalg.solve(M, rhs[..., None])[..., 0]
 
 
 # Verner's 6(5) 8-stage tableau as used by mfem::RK6Solver.
