@@ -53,6 +53,9 @@ class Options:
     ode_solver: int = 4        # -s
     blast_position: tuple = (0.0, 0.0, 0.0)
     use_pallas: bool = False   # fused Pallas physics kernel (3D, f32)
+    gather_assembly: bool = True  # incidence-gather assembly (TPU-friendly
+                                  # dual of scatter-add; same sums, element
+                                  # order per dof)
 
 
 def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
@@ -114,6 +117,12 @@ class Hydro:
         }
         self.gather = jnp.asarray(self.h1.gather)
         self.ndof = self.h1.ndof
+        if opt.gather_assembly:
+            inc, msk = mop.build_incidence(self.h1.gather, self.ndof)
+            self._inc = jnp.asarray(inc)
+            self._incmask = jnp.asarray(msk, dtype)
+        else:
+            self._inc = None
         self.nd1 = opt.order_v + 1
         self.l1d = opt.order_e + 1
         self.ld = self.l1d**d
@@ -333,13 +342,19 @@ class Hydro:
             dim=d, h1order=float(self.opt.order_v), cfl=self.opt.cfl,
             use_viscosity=self.use_visc, use_vorticity=self.use_vort)
 
+    def _assemble(self, u_e):
+        """(..., NE, nd) E-vector assembly to the L-vector."""
+        if self._inc is not None:
+            return mop.e_to_l_gather(u_e, self._inc, self._incmask)
+        return mop.e_to_l(u_e, self.gather, self.ndof)
+
     def _force_rhs_raw(self, sJit):
-        """F . 1 scattered to the H1 L-vector (the sw_force-timed part of
+        """F . 1 assembled to the H1 L-vector (the sw_force-timed part of
         SolveVelocity, laghos_solver.cpp:354)."""
         d = self.dim
         Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
                               ftz_eps2=self.ftz_eps2)     # (NE, d, nd)
-        return mop.e_to_l(jnp.swapaxes(Fone, 0, 1), self.gather, self.ndof)
+        return self._assemble(jnp.swapaxes(Fone, 0, 1))
 
     def _prep_velocity_rhs(self, raw):
         """rhs.Neg(), RT gravity source, essential-dof elimination."""
@@ -350,8 +365,9 @@ class Hydro:
 
     def _h1_apply_bc(self, u):
         d = self.dim
-        y = mop.h1_mass_apply(u, self.gather, self.ndof, self.massD,
-                              self.tables["H1B"], d)
+        ue = mop.l_to_e(u, self.gather)
+        ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d)
+        y = self._assemble(ue)
         return jnp.where(self.ess_mask_j, 0.0, y)
 
     def _cg_velocity(self, rhs):

@@ -29,6 +29,42 @@ def e_to_l(u_e, gather, ndof):
     return out.at[..., idx].add(flat)
 
 
+def build_incidence(gather, ndof):
+    """Transpose of the gather map as a padded incidence table.
+
+    For each global dof: the flat E-vector positions contributing to it
+    (padded with a sentinel).  Turns assembly into gather+sum — the
+    TPU-friendlier dual of scatter-add (gathers pipeline better through
+    the VMEM path than scatters).
+    Returns (incidence (ndof, V) int32, mask (ndof, V) float).
+    """
+    import numpy as np
+
+    g = np.asarray(gather).reshape(-1)
+    order = np.argsort(g, kind="stable")
+    sorted_g = g[order]
+    counts = np.bincount(sorted_g, minlength=ndof)
+    V = int(counts.max())
+    inc = np.zeros((ndof, V), dtype=np.int32)
+    msk = np.zeros((ndof, V))
+    pos = np.zeros(ndof, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for v in range(V):
+        sel = counts > v
+        idx = starts[sel] + v
+        inc[sel, v] = order[idx]
+        msk[sel, v] = 1.0
+    return inc, msk
+
+
+def e_to_l_gather(u_e, incidence, mask):
+    """Assembly via the incidence table: (..., NE, nd) -> (..., ndof)."""
+    lead = u_e.shape[:-2]
+    flat = u_e.reshape(lead + (-1,))
+    vals = flat[..., incidence]                 # (..., ndof, V)
+    return jnp.sum(vals * mask, axis=-1)
+
+
 def mass_apply_e(u_e, D, B, dim):
     """Element-local mass apply: B^T (D * (B u)) on (..., NE, nd)."""
     nd1 = B.shape[1]
