@@ -125,15 +125,9 @@ class Forest:
             if len(kids) != 2**self.dim:
                 continue
             pd, pidx = parent
-            # 2:1: all face neighbors of the parent must exist at depth
-            # >= pd (i.e. no neighbor would become 2 levels finer)
+            # 2:1 safety: no neighbor of any child may be finer than the
+            # child (derefining would then create a 2-level jump)
             ok = True
-            for d in range(self.dim):
-                for side in (-1, 1):
-                    nd = self._neighbor_exists_coarser(pd + 1, tuple(
-                        2 * v + (side > 0) * 1 for v in pidx), d, side)
-            # conservative check: neighbors of each kid not in group must
-            # not be finer than kid
             for (kd, kidx) in kids:
                 for d in range(self.dim):
                     for side in (-1, 1):

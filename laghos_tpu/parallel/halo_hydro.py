@@ -95,9 +95,6 @@ class HaloHydro:
         opt = h.opt
         exch_idx = self.exch
 
-        def local(vals):
-            return jax.tree_util.tree_map(lambda a: a[0], vals)
-
         def step(S, dtv, *consts):
             (gather, evalid, massD, rw, J0i, gamma, one_l2, owned, ess,
              dinv, sn, rp, sp_, rn) = [c[0] for c in consts]
@@ -164,7 +161,6 @@ class HaloHydro:
 
             ax = lambda a, c, b: jax.tree_util.tree_map(
                 lambda u, v: u + c * v, a, b)
-            dtv = dtv  # scalar (replicated)
             k1, m1 = mult(Sl)
             y = ax(Sl, dtv / 2, k1)
             k2, m2 = mult(y)
