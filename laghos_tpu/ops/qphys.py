@@ -103,15 +103,12 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
 
     m01 = a00 <= a11
     mu01 = jnp.where(m01, a00, a11)
-    pick = jnp.where(m01 & (a00 <= a22), 0,
-                     jnp.where(~m01 & (a11 <= a22), 1, 2))
     mu = jnp.minimum(mu01, a22)
-    ex = jnp.where(pick == 0, V[0][0], jnp.where(pick == 1, V[0][1],
-                                                 V[0][2]))
-    ey = jnp.where(pick == 0, V[1][0], jnp.where(pick == 1, V[1][1],
-                                                 V[1][2]))
-    ez = jnp.where(pick == 0, V[2][0], jnp.where(pick == 1, V[2][1],
-                                                 V[2][2]))
+    p0 = m01 & (a00 <= a22)
+    p1 = (~m01) & (a11 <= a22)
+    ex = jnp.where(p0, V[0][0], jnp.where(p1, V[0][1], V[0][2]))
+    ey = jnp.where(p0, V[1][0], jnp.where(p1, V[1][1], V[1][2]))
+    ez = jnp.where(p0, V[2][0], jnp.where(p1, V[2][1], V[2][2]))
 
     # Jpi = J . Jac0inv; ph = Jpi . e
     (o00, o01, o02, o10, o11, o12, o20, o21, o22) = J0i
@@ -136,7 +133,7 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     else:
         eps = 1e-12
         y = (mu - 2.0 * eps + eps) / (2.0 * eps)
-        y = jnp.clip(y, 0.0, 1.0)
+        y = jnp.clip(y, jnp.zeros_like(y), jnp.ones_like(y))
         step = (3.0 - 2.0 * y) * y * y
         visc = visc + (0.5 * R * h * S * vorticity_coeff * (1.0 - step))
 
@@ -172,12 +169,13 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     lam = jnp.minimum(jnp.minimum(t00, t11), t22)
     sv = jnp.sqrt(jnp.maximum(lam, 0.0))
 
+    one = jnp.ones_like(sv)
     h_min = sv / h1order
-    ih = 1.0 / h_min
+    ih = one / h_min
     idt = S * ih + 2.5 * visc * ih * ih / R
-    inf = jnp.asarray(jnp.inf, j00.dtype)
-    dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, 1.0), inf)
-    dtq = jnp.where(detJ < 0.0, 0.0, dtq)
+    inf = jnp.full_like(sv, jnp.inf)
+    dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, one), inf)
+    dtq = jnp.where(detJ < 0.0, jnp.zeros_like(sv), dtq)
 
     # sJit[gd][vd] = sum_k stress[vd,k] Jinv[gd,k] * w * detJ
     wd = detJ / winv

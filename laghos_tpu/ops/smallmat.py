@@ -86,16 +86,21 @@ def _eig2_smallest(A: jnp.ndarray):
 
 
 def _jacobi_rotation(app, aqq, apq):
-    """Stable (c, s) annihilating the (p,q) entry (Golub & Van Loan)."""
+    """Stable (c, s) annihilating the (p,q) entry (Golub & Van Loan).
+
+    All constants are built dtype-matched (Mosaic/Pallas rejects stray
+    64-bit scalars that python literals produce under x64 mode)."""
+    one = jnp.ones_like(apq)
+    zero = jnp.zeros_like(apq)
     nonzero = apq != 0.0
-    safe = jnp.where(nonzero, apq, 1.0)
+    safe = jnp.where(nonzero, apq, one)
     tau = (aqq - app) / (2.0 * safe)
-    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
-    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    sgn = jnp.where(tau >= 0.0, one, -one)
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(one + tau * tau))
+    c = one / jnp.sqrt(one + t * t)
     s = t * c
-    c = jnp.where(nonzero, c, 1.0)
-    s = jnp.where(nonzero, s, 0.0)
+    c = jnp.where(nonzero, c, one)
+    s = jnp.where(nonzero, s, zero)
     return c, s
 
 
