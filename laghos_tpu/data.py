@@ -54,6 +54,10 @@ def get_mesh(name_or_path: str) -> fmesh.Mesh:
     if base.endswith(".mesh"):
         base = base[:-5]
     if os.path.exists(name_or_path):
+        with open(name_or_path) as f:
+            head = f.readline().strip()
+        if head == "areamesh2":
+            return fmesh.load_netgen_2d(name_or_path)
         try:
             return fmesh.load_mfem_mesh(name_or_path)
         except NotImplementedError:

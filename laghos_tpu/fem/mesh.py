@@ -301,6 +301,44 @@ def load_mfem_mesh(path: str) -> Mesh:
     return Mesh(dim, verts[:, :dim].astype(np.float64), e, bv, ba)
 
 
+def load_netgen_2d(path: str) -> Mesh:
+    """Read a NetGen 2D 'areamesh2' ASCII surface mesh (quads).
+
+    Format (as consumed by MFEM's NetGen reader, used for the
+    reference's data/square01_quad_unstr.mesh): header line
+    ``areamesh2``; boundary-segment count then rows ``attr v0 v1``;
+    element count then rows ``attr nv v1 .. v_nv``; vertex count then
+    rows ``x y``.  Vertex ids are 1-based; quad rows are CCW, which is
+    exactly MFEM's quad vertex ordering, so rows are stored verbatim.
+    """
+    with open(path) as f:
+        tokens = f.read().split()
+    if tokens[0] != "areamesh2":
+        raise ValueError(f"not a NetGen areamesh2 file: {path}")
+    it = iter(tokens[1:])
+    nb = int(next(it))
+    bdr = []
+    for _ in range(nb):
+        attr = int(next(it))
+        bdr.append((attr, [int(next(it)) - 1, int(next(it)) - 1]))
+    ne = int(next(it))
+    elems = []
+    for _ in range(ne):
+        attr = int(next(it))
+        nvg = int(next(it))
+        if nvg != 4:
+            raise NotImplementedError(
+                "only quad areamesh2 meshes are supported")
+        elems.append([int(next(it)) - 1 for _ in range(4)])
+    nv = int(next(it))
+    verts = np.array([[float(next(it)), float(next(it))]
+                      for _ in range(nv)])
+    e = np.array(elems, dtype=np.int32)
+    bv = np.array([v for (_, v) in bdr], dtype=np.int32).reshape(nb, 2)
+    ba = np.array([a for (a, _) in bdr], dtype=np.int32)
+    return Mesh(2, verts, e, bv, ba)
+
+
 def write_mfem_mesh(mesh: Mesh, path: str):
     """Write an MFEM mesh v1.0 ASCII file (inline vertex coordinates).
 

@@ -106,6 +106,19 @@ def test_load_square01():
     assert np.isclose(m3.element_volumes().sum(), 1.0)
 
 
+def test_load_netgen_unstr():
+    m = mesh.load_netgen_2d(
+        "/root/reference/data/square01_quad_unstr.mesh")
+    assert m.dim == 2 and m.num_elems == 222 and m.num_verts == 247
+    assert np.isclose(m.element_volumes().sum(), 1.0)
+    assert m.element_volumes().min() > 0  # CCW orientation preserved
+    # Laghos wall convention: attr 1 segments lie on x=0/1, attr 2 on y=0/1
+    for attr, axis in ((1, 0), (2, 1)):
+        mid = m.verts[m.bdr_verts[m.bdr_attr == attr]].mean(axis=1)
+        assert np.all((np.abs(mid[:, axis]) < 1e-12)
+                      | (np.abs(mid[:, axis] - 1.0) < 1e-12))
+
+
 def test_load_rt2d():
     m = mesh.load_mfem_mesh("/root/reference/data/rt2D.mesh")
     assert m.dim == 2 and m.num_elems == 4
