@@ -51,11 +51,18 @@ class AMRHydro:
             W = np.kron(w1, W)
         self.Wnp = W
         h1b = fb.h1_gl_basis(opt.order_v, nq1)
-        l2b = fb.l2_bernstein_basis(opt.order_e, nq1)
+        # AMR uses the DEFAULT (Gauss-Legendre nodal) L2 basis, not
+        # Bernstein: MFEM cannot derefine non-nodal bases, so the
+        # reference AMR build comments out BasisType::Positive
+        # (amr/laghos.cpp:329, amr/README "Limitations").  The reported
+        # |e| norm is the dof-vector norm in this nodal basis.
+        gln, _ = fq.gauss_legendre(opt.order_e + 1)
+        l2B, _ = fb.lagrange_tables(gln, qpts)
+        self.l2_nodes1d = gln
         self.tables = {
             "H1B": jnp.asarray(h1b.B, dtype),
             "H1G": jnp.asarray(h1b.G, dtype),
-            "L2B": jnp.asarray(l2b.B, dtype),
+            "L2B": jnp.asarray(l2B, dtype),
             "W": jnp.asarray(W, dtype),
         }
         # refinement matrices (1D): parent poly -> child halves
@@ -63,17 +70,14 @@ class AMRHydro:
         BL, _ = fb.lagrange_tables(gl, gl / 2.0)
         BR, _ = fb.lagrange_tables(gl, 0.5 + gl / 2.0)
         self.h1_refine = (BL, BR)      # child_vals = B @ parent_vals
-        # L2 bernstein subdivision via nodal sampling at GL points
-        gln, _ = fq.gauss_legendre(opt.order_e + 1)
-        Vb, _ = fb.bernstein_tables(opt.order_e, gln)
-        Vbi = np.linalg.inv(Vb)
-        BbL, _ = fb.bernstein_tables(opt.order_e, gln / 2.0)
-        BbR, _ = fb.bernstein_tables(opt.order_e, 0.5 + gln / 2.0)
-        self.l2_refine = (Vbi @ BbL, Vbi @ BbR)
+        # L2 nodal refinement = point evaluation at child node positions
+        EL, _ = fb.lagrange_tables(gln, gln / 2.0)
+        ER, _ = fb.lagrange_tables(gln, 0.5 + gln / 2.0)
+        self.l2_refine = (EL, ER)
         # L2 projection (derefinement): parent = (M_ref)^-1 sum_c E_c^T
         #   M_ref,c child  with reference mass matrices (affine children)
         qx, qw = fq.gauss_legendre(max(2 * opt.order_e + 2, 2))
-        Bq, _ = fb.bernstein_tables(opt.order_e, qx)
+        Bq, _ = fb.lagrange_tables(gln, qx)
         Mref = np.einsum("qi,qj,q->ij", Bq, Bq, qw)
         self.l2_Mref_inv = np.linalg.inv(Mref)
         self.l2_Mref = Mref
@@ -162,10 +166,14 @@ class AMRHydro:
         Jac0inv = np.linalg.inv(J0)
         rw = self.Wnp[None, :] * detJ0                     # rho0 = 1
         rw[~elem_valid] = 0.0
-        vol = float(rw[elem_valid].sum())
-        ne_base = int(np.prod(self.forest.base_n))
-        h0 = (np.sqrt(vol / ne_base) if d == 2
-              else (vol / ne_base) ** (1.0 / 3.0)) / opt.order_v
+        # h0 = (area / zone count)^(1/d) / order, computed ONCE on the
+        # initial (vertex-refined) mesh and frozen through all AMR events
+        # (amr/laghos_solver.cpp:165-187; AMRUpdate does not recompute it)
+        if not hasattr(self, "_h0"):
+            vol = float(rw[elem_valid].sum())
+            self._h0 = (np.sqrt(vol / NE) if d == 2
+                        else (vol / NE) ** (1.0 / 3.0)) / opt.order_v
+        h0 = self._h0
 
         Me = np.array(mop.l2_mass_matrices(
             jnp.asarray(rw, self.dtype), self.tables["L2B"], d))
@@ -254,14 +262,10 @@ class AMRHydro:
         detJ = np.prod(size)
         integral = detJ / (p + 1) ** d
         scale = (opt.blast_energy / 2**d) / integral
-        nodal = vals * scale
-        T1 = fb.nodal_to_bernstein(p)
-        out = nodal.reshape((p + 1,) * d)
-        for kk in range(d):
-            ax = out.ndim - 1 - kk
-            out = np.moveaxis(np.tensordot(out, T1, axes=[[ax], [1]]),
-                              -1, ax)
-        e[corner] = out.reshape(-1)
+        # nodal GL basis: the ProjectDelta polynomial values at the nodes
+        # ARE the dofs (no change of basis; the AMR build does not use
+        # the Positive basis, amr/laghos.cpp:414-427)
+        e[corner] = vals * scale
         return e
 
     # ---------------- jitted compute (ctx = padded device arrays) -------

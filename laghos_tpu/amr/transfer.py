@@ -99,16 +99,16 @@ class H1Transfer:
 
 class L2Transfer:
     def __init__(self, p, dim):
+        # nodal GL basis (the reference AMR build does not use Bernstein:
+        # amr/README "Limitations"): refinement = point evaluation of the
+        # parent polynomial at the child node positions
         gln, _ = fq.gauss_legendre(p + 1)
-        Vb, _ = fb.bernstein_tables(p, gln)
-        Vbi = np.linalg.inv(Vb)
-        BbL, _ = fb.bernstein_tables(p, gln / 2.0)
-        BbR, _ = fb.bernstein_tables(p, 0.5 + gln / 2.0)
-        EL, ER = Vbi @ BbL, Vbi @ BbR
+        EL, _ = fb.lagrange_tables(gln, gln / 2.0)
+        ER, _ = fb.lagrange_tables(gln, 0.5 + gln / 2.0)
         self.child = (EL, ER)
         # derefinement: 1D T_b = 0.5 * Mref^-1 E_b^T Mref
         qx, qw = fq.gauss_legendre(p + 2)
-        Bq, _ = fb.bernstein_tables(p, qx)
+        Bq, _ = fb.lagrange_tables(gln, qx)
         M = np.einsum("qi,qj,q->ij", Bq, Bq, qw)
         Mi = np.linalg.inv(M)
         self.parent = (0.5 * Mi @ EL.T @ M, 0.5 * Mi @ ER.T @ M)

@@ -82,11 +82,14 @@ def physics_3d_pallas(J, dV, J0i, e_q, rw, gamma, W, *, h0, h1order, cfl,
     J0ip = jnp.where(mask[None], J0ip, eye)
 
     grid = (Mp // _BM,)
-    spec9 = pl.BlockSpec((9, _BM, 128), lambda i: (0, i, 0),
+    # index-map constants must be i32: under x64 mode a python 0 becomes
+    # an i64 constant and Mosaic rejects the index function's return type
+    zero = jnp.int32(0)
+    spec9 = pl.BlockSpec((9, _BM, 128), lambda i: (zero, i, zero),
                          memory_space=pltpu.VMEM)
-    spec4 = pl.BlockSpec((4, _BM, 128), lambda i: (0, i, 0),
+    spec4 = pl.BlockSpec((4, _BM, 128), lambda i: (zero, i, zero),
                          memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((_BM, 128), lambda i: (i, 0),
+    spec1 = pl.BlockSpec((_BM, 128), lambda i: (i, zero),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(
         _kernel, h0=h0, h1order=h1order, cfl=cfl,
