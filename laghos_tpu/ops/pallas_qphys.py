@@ -84,7 +84,7 @@ def physics_3d_pallas(J, dV, J0i, e_q, rw, gamma, W, *, h0, h1order, cfl,
     grid = (Mp // _BM,)
     # index-map constants must be i32: under x64 mode a python 0 becomes
     # an i64 constant and Mosaic rejects the index function's return type
-    zero = jnp.int32(0)
+    zero = np.int32(0)
     spec9 = pl.BlockSpec((9, _BM, 128), lambda i: (zero, i, zero),
                          memory_space=pltpu.VMEM)
     spec4 = pl.BlockSpec((4, _BM, 128), lambda i: (zero, i, zero),
