@@ -75,3 +75,24 @@ def test_pallas_qphys_interpret():
     scale = float(jnp.abs(sJit_ref).max())
     err = np.abs(np.asarray(sJit) - np.asarray(sJit_ref)).max()
     assert err < 1e-12 * scale
+
+
+def test_physics_3d_no_64bit_leaks():
+    """Mosaic rejects any 64-bit value inside a Pallas TPU kernel; weak
+    python literals promote to f64/i64 under x64 mode, so the physics
+    chain must build every constant dtype-matched."""
+    import re
+
+    f32 = lambda: jnp.ones((8, 128), jnp.float32)
+    J = tuple(f32() for _ in range(9))
+    dV = tuple(f32() for _ in range(9))
+    J0i = tuple(f32() for _ in range(9))
+
+    def fn(*a):
+        return qphys.physics_3d(
+            a[:9], a[9:18], a[18:27], a[27], a[28], 1.4, a[29],
+            h0_e=a[30], h1order=2.0, cfl=0.5)
+
+    jaxpr = jax.make_jaxpr(fn)(*J, *dV, *J0i, f32(), f32(), f32(), f32())
+    hits = sorted(set(re.findall(r"(f64|i64|u64)", str(jaxpr))))
+    assert not hits, f"64-bit values leaked into the kernel: {hits}"
