@@ -29,6 +29,7 @@ from .fem.mesh import Mesh, SEGMENT, SQUARE, CUBE
 from .fem.space import L2Space, build_h1_space
 from .ops import force as fop
 from .ops import mass as mop
+from .ops import structured
 from .ops import qupdate as qop
 from .ops import tensor as top
 from .solvers.cg import cg
@@ -56,6 +57,9 @@ class Options:
     gather_assembly: bool = True  # incidence-gather assembly (TPU-friendly
                                   # dual of scatter-add; same sums, element
                                   # order per dof)
+    structured_el: bool = True    # parity-decomposed E<->L transforms on
+                                  # Cartesian meshes (ops/structured.py);
+                                  # auto-falls back when not applicable
 
 
 def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
@@ -117,7 +121,10 @@ class Hydro:
         }
         self.gather = jnp.asarray(self.h1.gather)
         self.ndof = self.h1.ndof
-        if opt.gather_assembly:
+        self._sm = (structured.detect_structure(mesh, self.h1.gather,
+                                                opt.order_v)
+                    if opt.structured_el else None)
+        if opt.gather_assembly and self._sm is None:
             inc, msk = mop.build_incidence(self.h1.gather, self.ndof)
             self._inc = jnp.asarray(inc)
             self._incmask = jnp.asarray(msk, dtype)
@@ -315,8 +322,8 @@ class Hydro:
     # -------------------------------------------------- jitted pieces ----
     def _qupdate(self, S):
         d = self.dim
-        x_e = S["x"][:, self.gather].transpose(1, 0, 2)
-        v_e = S["v"][:, self.gather].transpose(1, 0, 2)
+        x_e = self._gather_e(S["x"])
+        v_e = self._gather_e(S["v"])
         if (self.opt.use_pallas and d == 3 and self.use_visc
                 and self.dtype == jnp.float32):
             from .ops import pallas_qphys
@@ -344,9 +351,17 @@ class Hydro:
 
     def _assemble(self, u_e):
         """(..., NE, nd) E-vector assembly to the L-vector."""
+        if self._sm is not None:
+            return structured.e_to_l_struct(u_e, self._sm)
         if self._inc is not None:
             return mop.e_to_l_gather(u_e, self._inc, self._incmask)
         return mop.e_to_l(u_e, self.gather, self.ndof)
+
+    def _gather_e(self, u):
+        """(C, ndof) L-vector -> (NE, C, nd) E-vector."""
+        if self._sm is not None:
+            return jnp.swapaxes(structured.l_to_e_struct(u, self._sm), 0, 1)
+        return u[:, self.gather].transpose(1, 0, 2)
 
     def _force_rhs_raw(self, sJit):
         """F . 1 assembled to the H1 L-vector (the sw_force-timed part of
@@ -365,7 +380,7 @@ class Hydro:
 
     def _h1_apply_bc(self, u):
         d = self.dim
-        ue = mop.l_to_e(u, self.gather)
+        ue = jnp.swapaxes(self._gather_e(u), 0, 1)
         ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d)
         y = self._assemble(ue)
         return jnp.where(self.ess_mask_j, 0.0, y)
@@ -397,7 +412,7 @@ class Hydro:
         """(f, psi) with the Taylor-Green forcing on the current mesh
         (laghos_solver.cpp:455-465, laghos_solver.hpp:207-218)."""
         d = self.dim
-        x_e = S["x"][:, self.gather].transpose(1, 0, 2)
+        x_e = self._gather_e(S["x"])
         J = qop.jacobians(x_e, self.tables["H1B"], self.tables["H1G"], d)
         from .ops import smallmat
 
@@ -416,7 +431,7 @@ class Hydro:
 
     def _force_transpose(self, sJit, v):
         d = self.dim
-        v_e = v[:, self.gather].transpose(1, 0, 2)
+        v_e = self._gather_e(v)
         return fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
 
     def _cg_energy(self, e_rhs):
@@ -717,7 +732,7 @@ class Hydro:
         e_q = top.eval_values(et, self.tables["L2B"], d).reshape(
             self.NE, self.NQ)
         ie = jnp.sum(self.rho0DetJ0w_j * e_q)
-        v_e = S["v"][:, self.gather].transpose(1, 0, 2)
+        v_e = self._gather_e(S["v"])
         vt = v_e.reshape((self.NE, d) + (self.nd1,) * d)
         v_q = top.eval_values(vt, self.tables["H1B"], d).reshape(
             self.NE, d, self.NQ)
@@ -736,7 +751,7 @@ class Hydro:
         """Project current density rho = rho0 detJ0 / detJ onto L2
         (laghos_solver.cpp:542-563)."""
         d = self.dim
-        x_e = S["x"][:, self.gather].transpose(1, 0, 2)
+        x_e = self._gather_e(S["x"])
         J = qop.jacobians(x_e, self.tables["H1B"], self.tables["H1G"], d)
         from .ops import smallmat
 
