@@ -33,9 +33,18 @@ from ..solvers.cg import cg
 class AMRHydro:
     """Sedov-blast hydrodynamics on an adaptive forest (problem 1)."""
 
-    def __init__(self, forest, opt, dtype=jnp.float64):
+    def __init__(self, forest, opt, dtype=jnp.float64,
+                 h0_zone_count=None):
+        # h0_zone_count: zone count to use in the h0 formula.  The
+        # reference's initial RefineAtVertex does NOT enforce 2:1
+        # (nc_limit only applies from the first dynamic refinement), so
+        # its initial mesh has base + (2^d-1)*rs zones; our forest is
+        # always 2:1-conforming and ripples to more.  Passing the
+        # reference's count reproduces quad_data.h0 exactly
+        # (amr/laghos_solver.cpp:165-187).
         self.forest = forest
         self.opt = opt
+        self.h0_zone_count = h0_zone_count
         self.dtype = dtype
         d = self.dim = forest.dim
         self.nd1 = opt.order_v + 1
@@ -171,8 +180,9 @@ class AMRHydro:
         # (amr/laghos_solver.cpp:165-187; AMRUpdate does not recompute it)
         if not hasattr(self, "_h0"):
             vol = float(rw[elem_valid].sum())
-            self._h0 = (np.sqrt(vol / NE) if d == 2
-                        else (vol / NE) ** (1.0 / 3.0)) / opt.order_v
+            zc = self.h0_zone_count or NE
+            self._h0 = (np.sqrt(vol / zc) if d == 2
+                        else (vol / zc) ** (1.0 / 3.0)) / opt.order_v
         h0 = self._h0
 
         Me = np.array(mop.l2_mass_matrices(

@@ -36,7 +36,9 @@ def main(row=1, max_steps=-1):
         f.refine(corner)
     opt = Options(problem=1, blast_energy=0.25, order_v=cfg["ok"],
                   order_e=cfg["ot"], cg_tol=1e-8)
-    h = AMRHydro(f, opt)
+    # reference initial mesh: base + (2^d-1)*rs zones (no 2:1 ripple)
+    h = AMRHydro(f, opt, h0_zone_count=4 + 3 * cfg["rs"] if f.dim == 2
+                 else 8 + 7 * cfg["rs"])
     print(f"initial leaves: {h.NE}")
     res = run_amr(h, t_final=cfg["tf"], ref_threshold=cfg["rt"],
                   max_steps=max_steps, vis_steps=25, verbose=True)
