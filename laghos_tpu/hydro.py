@@ -207,6 +207,12 @@ class Hydro:
         self.gamma_j = jnp.asarray(gamma_e, dtype)
         self.rho0DetJ0w_j = jnp.asarray(self.rho0DetJ0w, dtype)
         self.Jac0inv_j = jnp.asarray(self.Jac0inv, dtype)
+        # scalarized 3D q-data path: Jac0inv as 9 separate (NE, NQ)
+        # component arrays (see ops/qupdate.py::qupdate3d)
+        self._sJ9 = d == 3
+        self.Jac0inv9_j = tuple(
+            jnp.asarray(self.Jac0inv[..., a, b], dtype)
+            for a in range(3) for b in range(3)) if self._sJ9 else None
         self.one_l2 = jnp.ones((NE, self.ld), dtype)
         eps = np.finfo(np.float64).eps
         self.ftz_eps2 = eps * eps
@@ -324,25 +330,17 @@ class Hydro:
         d = self.dim
         x_e = self._gather_e(S["x"])
         v_e = self._gather_e(S["v"])
-        if (self.opt.use_pallas and d == 3 and self.use_visc
-                and self.dtype == jnp.float32):
-            from .ops import pallas_qphys
-
-            J = qop.jacobians(x_e, self.tables["H1B"],
-                              self.tables["H1G"], d)
-            vt = v_e.reshape((self.NE, d) + (self.nd1,) * d)
-            dVt = top.eval_gradient(vt, self.tables["H1B"],
-                                    self.tables["H1G"], d)
-            dV = jnp.moveaxis(dVt.reshape(self.NE, d, self.NQ, d), 1, 2)
-            et = S["e"].reshape((self.NE,) + (self.l1d,) * d)
-            e_q = top.eval_values(et, self.tables["L2B"], d).reshape(
-                self.NE, self.NQ)
-            sJit, dtq, _ = pallas_qphys.physics_3d_pallas(
-                J, dV, self.Jac0inv_j, e_q, self.rho0DetJ0w_j,
-                self.gamma_j, self.tables["W"], h0=self.h0,
+        if self._sJ9:
+            # scalarized 3D path: q-data flows as 9 component arrays so
+            # no (NE, NQ, 3, 3) array (57x HBM tile-padding waste) is
+            # ever materialized; optionally fused as a Pallas kernel
+            return qop.qupdate3d(
+                x_e, v_e, S["e"], self.gamma_j, self.rho0DetJ0w_j,
+                self.Jac0inv9_j, self.tables, self.h0,
                 h1order=float(self.opt.order_v), cfl=self.opt.cfl,
-                use_vorticity=self.use_vort)
-            return sJit, jnp.min(dtq)
+                use_viscosity=self.use_visc, use_vorticity=self.use_vort,
+                pallas=(self.opt.use_pallas and self.use_visc
+                        and self.dtype == jnp.float32))
         return qop.qupdate(
             x_e, v_e, S["e"], self.gamma_j, self.rho0DetJ0w_j,
             self.Jac0inv_j, self.tables, self.h0,
@@ -367,8 +365,12 @@ class Hydro:
         """F . 1 assembled to the H1 L-vector (the sw_force-timed part of
         SolveVelocity, laghos_solver.cpp:354)."""
         d = self.dim
-        Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
-                              ftz_eps2=self.ftz_eps2)     # (NE, d, nd)
+        if isinstance(sJit, tuple):
+            Fone = fop.force_mult9(self.one_l2, sJit, self.tables,
+                                   ftz_eps2=self.ftz_eps2)
+        else:
+            Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
+                                  ftz_eps2=self.ftz_eps2)  # (NE, d, nd)
         return self._assemble(jnp.swapaxes(Fone, 0, 1))
 
     def _prep_velocity_rhs(self, raw):
@@ -432,6 +434,8 @@ class Hydro:
     def _force_transpose(self, sJit, v):
         d = self.dim
         v_e = self._gather_e(v)
+        if isinstance(sJit, tuple):
+            return fop.force_mult_transpose9(v_e, sJit, self.tables)
         return fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
 
     def _cg_energy(self, e_rhs):

@@ -63,3 +63,53 @@ def force_mult_transpose(v_e, sJit, tables, *, dim: int):
     eq = jnp.einsum("ev...g,e...gv->e...", dV, sJ)
     out = tensor.eval_transpose(eq, L2Bt, d)
     return out.reshape(NE, l1d**d)
+
+
+def force_mult9(e_b, sJit9, tables, *, ftz_eps2: float):
+    """3D F . e with sJit as a 9-tuple of (NE, NQ) component arrays.
+
+    Identical math to force_mult (laghos_assembly.cpp:145-514) but the
+    q-data never carries trailing (3, 3) matrix dims: TPU layouts tile
+    the two minor axes to (8, 128), so a (NE, NQ, 3, 3) array pads ~57x
+    in HBM.  sJit9 index: [gd * 3 + vd]."""
+    d = 3
+    H1Bt, H1Gt, L2B = tables["H1B"].T, tables["H1G"].T, tables["L2B"]
+    NE = e_b.shape[0]
+    l1d = L2B.shape[1]
+    nq1 = L2B.shape[0]
+    nd1 = H1Bt.shape[0]
+
+    et = e_b.reshape((NE,) + (l1d,) * d)
+    EQ = tensor.eval_values(et, L2B, d)            # (NE, q...)
+    qshape = (NE,) + (nq1,) * d
+    comps = []
+    for vd in range(d):
+        acc = None
+        for gd in range(d):
+            sq = sJit9[gd * d + vd].reshape(qshape)
+            term = tensor.grad_transpose(EQ * sq, H1Bt, H1Gt, gd, d)
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    out = jnp.stack(comps, axis=1).reshape(NE, d, nd1**d)
+    return jnp.where(jnp.abs(out) < ftz_eps2, 0.0, out)
+
+
+def force_mult_transpose9(v_e, sJit9, tables):
+    """3D F^T . v with component-tuple q-data (see force_mult9)."""
+    d = 3
+    H1B, H1G, L2Bt = tables["H1B"], tables["H1G"], tables["L2B"].T
+    NE = v_e.shape[0]
+    nd1 = H1B.shape[1]
+    nq1 = H1B.shape[0]
+    l1d = L2Bt.shape[0]
+
+    vt = v_e.reshape((NE, d) + (nd1,) * d)
+    qshape = (NE,) + (nq1,) * d
+    eq = None
+    for vd in range(d):
+        for gd in range(d):
+            dv = tensor.eval_gradient_dir(vt[:, vd], H1B, H1G, gd, d)
+            term = dv * sJit9[gd * d + vd].reshape(qshape)
+            eq = term if eq is None else eq + term
+    out = tensor.eval_transpose(eq, L2Bt, d)
+    return out.reshape(NE, l1d**d)

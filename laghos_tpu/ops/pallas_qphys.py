@@ -110,3 +110,71 @@ def physics_3d_pallas(J, dV, J0i, e_q, rw, gamma, W, *, h0, h1order, cfl,
     sJit_out = sJit.reshape(9, Np)[:, :N].T.reshape(NE, NQ, 3, 3)
     return (sJit_out, dtq.reshape(-1)[:N].reshape(NE, NQ),
             visc.reshape(-1)[:N].reshape(NE, NQ))
+
+
+def physics_3d_pallas9(J9, dV9, J0i9, e_q, rw, gamma, W, *, h0, h1order,
+                       cfl, use_vorticity=False, hard_visc=False,
+                       interpret=False):
+    """Component-tuple variant: J9/dV9/J0i9 are 9-tuples of (NE, NQ);
+    gamma broadcastable to (NE, NQ).  Returns (sJit 9-tuple of (NE, NQ),
+    dtq, visc) — no trailing (3, 3) matrix dims anywhere (TPU layouts
+    would pad them ~57x)."""
+    NE, NQ = e_q.shape
+    N = NE * NQ
+    M = -(-N // 128)
+    Mp = -(-M // _BM) * _BM
+    Np = Mp * 128
+    dtype = e_q.dtype
+
+    def pack9t(t):
+        flat = jnp.stack([a.reshape(N) for a in t], axis=0)   # (9, N)
+        out = jnp.zeros((9, Np), dtype)
+        return out.at[:, :N].set(flat).reshape(9, Mp, 128)
+
+    def pack1(a, fill=0.0):
+        out = jnp.full((Np,), fill, dtype)
+        return out.at[:N].set(jnp.broadcast_to(a, (NE, NQ)).reshape(-1)
+                              ).reshape(Mp, 128)
+
+    Jp = pack9t(J9)
+    dVp = pack9t(dV9)
+    J0ip = pack9t(J0i9)
+    winv = jnp.broadcast_to((1.0 / W)[None, :], (NE, NQ))
+    Sp = jnp.stack([pack1(e_q), pack1(rw), pack1(winv),
+                    pack1(gamma, fill=1.4)], axis=0)
+    eye = jnp.zeros((9, Mp, 128), dtype)
+    for k in (0, 4, 8):
+        eye = eye.at[k].set(1.0)
+    mask = (jax.lax.broadcasted_iota(
+        jnp.int32, (Mp * 128,), 0) < N).reshape(Mp, 128)
+    Jp = jnp.where(mask[None], Jp, eye)
+    J0ip = jnp.where(mask[None], J0ip, eye)
+
+    grid = (Mp // _BM,)
+    zero = np.int32(0)
+    spec9 = pl.BlockSpec((9, _BM, 128), lambda i: (zero, i, zero),
+                         memory_space=pltpu.VMEM)
+    spec4 = pl.BlockSpec((4, _BM, 128), lambda i: (zero, i, zero),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((_BM, 128), lambda i: (i, zero),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _kernel, h0=h0, h1order=h1order, cfl=cfl,
+        use_vorticity=use_vorticity, hard_visc=hard_visc)
+    sJit, dtq, visc = pl.pallas_call(
+        kern,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[spec9, spec9, spec9, spec4],
+        out_specs=(spec9, spec1, spec1),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, Mp, 128), dtype),
+            jax.ShapeDtypeStruct((Mp, 128), dtype),
+            jax.ShapeDtypeStruct((Mp, 128), dtype),
+        ),
+    )(Jp, dVp, J0ip, Sp)
+    dtq = jnp.where(mask, dtq, jnp.inf)
+    sJit9 = tuple(sJit[k].reshape(Np)[:N].reshape(NE, NQ)
+                  for k in range(9))
+    return (sJit9, dtq.reshape(-1)[:N].reshape(NE, NQ),
+            visc.reshape(-1)[:N].reshape(NE, NQ))

@@ -17,7 +17,8 @@ from .smallmat import _jacobi_rotation
 
 
 def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
-               use_vorticity=False, hard_visc=False, eig_sweeps=6):
+               use_viscosity=True, use_vorticity=False, hard_visc=False,
+               eig_sweeps=6):
     """All inputs are tuples/arrays of flat per-point scalars.
 
     J, dV, J0i: tuples of 9 arrays (row-major [a][b]); e_q, rw (rho0DetJ0w),
@@ -71,6 +72,14 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     s01 = 0.5 * (g01 + g10)
     s02 = 0.5 * (g02 + g20)
     s12 = 0.5 * (g12 + g21)
+
+    Jinv9 = (i00, i01, i02, i10, i11, i12, i20, i21, i22)
+    if not use_viscosity:
+        # pressure-only stress (inviscid problems): no eigen-solve
+        zero = jnp.zeros_like(P)
+        return _finish(J, (-P, -P, -P, zero, zero, zero), zero, Jinv9,
+                       detJ, S, winv, h1order=h1order, cfl=cfl,
+                       eig_sweeps=eig_sweeps)
 
     # scalarized Jacobi eig (smallest) with eigenvector
     a00, a11, a22, a01, a02, a12 = s00, s11, s22, s01, s02, s12
@@ -143,6 +152,17 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     st01 = visc * s01
     st02 = visc * s02
     st12 = visc * s12
+    return _finish(J, (st00, st11, st22, st01, st02, st12), visc, Jinv9,
+                   detJ, S, winv, h1order=h1order, cfl=cfl,
+                   eig_sweeps=eig_sweeps, visc_over_R=visc / R)
+
+
+def _finish(J, st, visc, Jinv9, detJ, S, winv, *, h1order, cfl,
+            eig_sweeps, visc_over_R=None):
+    # shared tail: min-SV dt estimate + stressJinvT assembly
+    (j00, j01, j02, j10, j11, j12, j20, j21, j22) = J
+    st00, st11, st22, st01, st02, st12 = st
+    (i00, i01, i02, i10, i11, i12, i20, i21, i22) = Jinv9
 
     # min singular value of J via eigenvalues of J^T J (values only)
     t00 = j00**2 + j10**2 + j20**2
@@ -172,7 +192,8 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     one = jnp.ones_like(sv)
     h_min = sv / h1order
     ih = one / h_min
-    idt = S * ih + 2.5 * visc * ih * ih / R
+    vR = visc_over_R if visc_over_R is not None else jnp.zeros_like(sv)
+    idt = S * ih + 2.5 * vR * ih * ih
     inf = jnp.full_like(sv, jnp.inf)
     dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, one), inf)
     dtq = jnp.where(detJ < 0.0, jnp.zeros_like(sv), dtq)

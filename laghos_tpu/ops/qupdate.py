@@ -131,3 +131,71 @@ def jacobians(x_e, H1B, H1G, dim):
     xt = x_e.reshape((NE, dim) + (nd1,) * dim)
     Jt = tensor.eval_gradient(xt, H1B, H1G, dim)
     return jnp.moveaxis(Jt.reshape(NE, dim, nq1**dim, dim), 1, 2)
+
+
+def qupdate3d(
+    x_e, v_e, e_b, gamma, rho0DetJ0w, Jac0inv9, tables, h0,
+    *, h1order, cfl, use_viscosity, use_vorticity,
+    elem_valid=None, pallas=False, interpret=False,
+):
+    """Scalarized 3D qupdate: returns (sJit 9-tuple of (NE, NQ), dt_est).
+
+    Same physics as `qupdate` (laghos_solver.cpp:1042-1168) but carried
+    as 9 independent (NE, NQ) component arrays end-to-end: TPU layouts
+    tile the two minor axes to (8, 128), so any array with trailing
+    (3, 3) matrix dims pads ~57x in HBM.  This path never materializes
+    one.  Jac0inv9 is the matching 9-tuple of (NE, NQ) arrays.
+    With pallas=True the pointwise physics chain runs as a fused Pallas
+    VPU kernel instead of inline XLA ops.
+    """
+    from . import qphys
+    from . import pallas_qphys
+
+    d = 3
+    NE = x_e.shape[0]
+    H1B, H1G, L2B, W = (tables["H1B"], tables["H1G"], tables["L2B"],
+                        tables["W"])
+    nd1 = H1B.shape[1]
+    nq1 = H1B.shape[0]
+    NQ = nq1**d
+    l1d = L2B.shape[1]
+
+    xt = x_e.reshape((NE, d) + (nd1,) * d)
+    vt = v_e.reshape((NE, d) + (nd1,) * d)
+    J9 = tuple(
+        tensor.eval_gradient_dir(xt[:, a], H1B, H1G, b, d).reshape(NE, NQ)
+        for a in range(d) for b in range(d))
+    dV9 = tuple(
+        tensor.eval_gradient_dir(vt[:, a], H1B, H1G, b, d).reshape(NE, NQ)
+        for a in range(d) for b in range(d))
+    et = e_b.reshape((NE,) + (l1d,) * d)
+    e_q = tensor.eval_values(et, L2B, d).reshape(NE, NQ)
+
+    gam = gamma[:, None]
+    winv = 1.0 / W[None, :]
+    h0_e = jnp.full_like(e_q, h0)
+    if not use_viscosity:
+        # pressure-only stress: sJit[gd,vd] = -P Jinv[gd,vd] w detJ
+        detJ = (J9[0] * (J9[4] * J9[8] - J9[5] * J9[7])
+                - J9[1] * (J9[3] * J9[8] - J9[5] * J9[6])
+                + J9[2] * (J9[3] * J9[7] - J9[4] * J9[6]))
+        sJit9, dtq, _ = qphys.physics_3d(
+            J9, tuple(jnp.zeros_like(e_q) for _ in range(9)), Jac0inv9,
+            e_q, rho0DetJ0w, gam, winv, h0_e=h0_e, h1order=h1order,
+            cfl=cfl, use_vorticity=False)
+    elif pallas:
+        sJit9, dtq, _ = pallas_qphys.physics_3d_pallas9(
+            J9, dV9, Jac0inv9, e_q, rho0DetJ0w, gam, W,
+            h0=h0, h1order=h1order, cfl=cfl,
+            use_vorticity=use_vorticity, interpret=interpret)
+    else:
+        sJit9, dtq, _ = qphys.physics_3d(
+            J9, dV9, Jac0inv9, e_q, rho0DetJ0w, gam, winv,
+            h0_e=h0_e, h1order=h1order, cfl=cfl,
+            use_vorticity=use_vorticity)
+    if elem_valid is not None:
+        inf = jnp.asarray(jnp.inf, dtype=x_e.dtype)
+        dtq = jnp.where(elem_valid[:, None], dtq, inf)
+        sJit9 = tuple(jnp.where(elem_valid[:, None], s, 0.0)
+                      for s in sJit9)
+    return sJit9, jnp.min(dtq)

@@ -61,3 +61,15 @@ def grad_transpose(uq: jnp.ndarray, Bt: jnp.ndarray, Gt: jnp.ndarray,
     for k in range(d):
         uq = apply_axis(uq, Gt if k == b else Bt, k, d)
     return uq
+
+
+def eval_gradient_dir(u: jnp.ndarray, B: jnp.ndarray, G: jnp.ndarray,
+                      b: int, d: int) -> jnp.ndarray:
+    """Direction-b reference derivative at tensor points: (..., q...).
+
+    Component form of eval_gradient that never materializes the stacked
+    (..., d) gradient axis — on TPU a trailing size-d axis forces a
+    (8,128)-tile layout with up to ~50x padding waste for d=3."""
+    for k in range(d):
+        u = apply_axis(u, G if k == b else B, k, d)
+    return u

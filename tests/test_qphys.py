@@ -41,6 +41,9 @@ def _fields(h, S):
 def test_qphys_matches_qupdate():
     h, S = _setup()
     sJit_ref, dt_ref = h._qupdate(S)
+    if isinstance(sJit_ref, tuple):   # scalarized 3D path returns 9-tuple
+        sJit_ref = jnp.stack(sJit_ref, axis=-1).reshape(
+            h.NE, h.NQ, 3, 3)
 
     J, dV, e_q = _fields(h, S)
     winv = jnp.broadcast_to((1.0 / h.tables["W"])[None, :],
@@ -66,6 +69,9 @@ def test_pallas_qphys_interpret():
 
     h, S = _setup()
     sJit_ref, dt_ref = h._qupdate(S)
+    if isinstance(sJit_ref, tuple):   # scalarized 3D path returns 9-tuple
+        sJit_ref = jnp.stack(sJit_ref, axis=-1).reshape(
+            h.NE, h.NQ, 3, 3)
     J, dV, e_q = _fields(h, S)
     sJit, dtq, visc = pallas_qphys.physics_3d_pallas(
         J, dV, h.Jac0inv_j, e_q, h.rho0DetJ0w_j, h.gamma_j,
