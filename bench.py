@@ -83,7 +83,8 @@ def main():
     def _force_pair(sj):
         raw = h._force_rhs_raw(sj)
         e_rhs = h._force_transpose(sj, S["v"])
-        return sj + eps * (jnp.sum(raw) + jnp.sum(e_rhs))
+        bump = eps * (jnp.sum(raw) + jnp.sum(e_rhs))
+        return jax.tree_util.tree_map(lambda a: a + bump, sj)
 
     t_f = _timed_loop(_force_pair, sJit, iters)
 

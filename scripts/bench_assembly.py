@@ -43,10 +43,13 @@ def apply_scatter(v):
     ue = mop.mass_apply_e(ue, h.massD, h.tables["H1B"], 3)
     return mop.e_to_l(ue, h.gather, h.ndof)
 
+inc, msk = mop.build_incidence(h.h1.gather, h.ndof)
+inc = jnp.asarray(inc); msk = jnp.asarray(msk, dtype)
+
 def apply_gather(v):
     ue = mop.l_to_e(v, h.gather)
     ue = mop.mass_apply_e(ue, h.massD, h.tables["H1B"], 3)
-    return mop.e_to_l_gather(ue, h._inc, h._incmask)
+    return mop.e_to_l_gather(ue, inc, msk)
 
 def elem_only(v):
     ue = mop.l_to_e(v, h.gather)
