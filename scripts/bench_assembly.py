@@ -63,7 +63,7 @@ run(apply_gather, "incidence-gather assembly")
 from laghos_tpu.ops.structured import detect_structure, l_to_e_struct, e_to_l_struct
 sm = h._sm or detect_structure(m, h.h1.gather, h.opt.order_v)
 def apply_struct(v):
-    ue = jnp.swapaxes(l_to_e_struct(v, sm), 0, 1)
+    ue = l_to_e_struct(v, sm)              # (3, NE, nd)
     ue = mop.mass_apply_e(ue, h.massD, h.tables["H1B"], 3)
-    return e_to_l_struct(jnp.swapaxes(ue, 0, 1), sm)
+    return e_to_l_struct(ue, sm)
 run(apply_struct, "structured parity assembly")
