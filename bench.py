@@ -40,16 +40,26 @@ def main():
 
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # persistent compile cache: the bench compiles ~8 large programs
+    # (~40-60 s each through the remote TPU compiler); cached re-runs
+    # start timing in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from laghos_tpu import driver
     from laghos_tpu.fem import mesh as fmesh
     from laghos_tpu.hydro import Hydro, Options
 
-    rs = int(os.environ.get("BENCH_RS", "3"))
+    rs = int(os.environ.get("BENCH_RS", "4"))
     warm_steps = int(os.environ.get("BENCH_STEPS", "30"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    dts = os.environ.get("BENCH_DTYPE", "f64")
+    dts = os.environ.get("BENCH_DTYPE", "f32")
     ok = int(os.environ.get("BENCH_OK", "2"))   # Q2-Q1 or Q4-Q3 (BASELINE)
     ot = int(os.environ.get("BENCH_OT", str(ok - 1)))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
