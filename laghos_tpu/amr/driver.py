@@ -79,6 +79,13 @@ def run_amr(
         changed = False
         if refs:
             changed = hydro.apply_amr(refine_keys=refs)
+            # nc_limit=1 is enforced globally on every refinement call
+            # (MFEM LimitNCLevel); one level per pass, transfers chained
+            while changed:
+                viol = hydro.forest.balance_violations(1)
+                if not viol:
+                    break
+                hydro.apply_amr(refine_keys=viol)
             if changed and verbose:
                 print(f"Refined -> {hydro.NE} elements.")
         elif deref_threshold:

@@ -75,9 +75,13 @@ class Forest:
         return depth + 1  # finer children exist (2:1 guaranteed)
 
     # -- refinement / derefinement -----------------------------------------
-    def refine(self, keys):
-        """Refine the given leaves (plus 2:1 ripple). Returns the set of
-        keys actually refined."""
+    def refine(self, keys, balance=True):
+        """Refine the given leaves.  With balance=True (nc_limit=1
+        semantics, amr/laghos.cpp:653) the 2:1 ripple refines coarse
+        neighbours as needed; balance=False refines exactly the given
+        leaves, allowing multi-level hanging faces — the semantics of the
+        reference's initial Mesh::RefineAtVertex (amr/laghos.cpp:203-208),
+        which does not take an nc_limit.  Returns the keys refined."""
         todo = [k for k in keys if k in self.leaves]
         done = set()
         while todo:
@@ -86,7 +90,7 @@ class Forest:
             if key not in self.leaves or depth >= self.max_depth:
                 continue
             # 2:1 rule: all face neighbors must exist at depth >= depth
-            for d in range(self.dim):
+            for d in range(self.dim if balance else 0):
                 for side in (-1, 1):
                     nd = self._neighbor_exists_coarser(depth, idx, d, side)
                     if nd is not None and nd < depth:
@@ -108,6 +112,29 @@ class Forest:
                 done.add(key)
         self._order = sorted(self.leaves)
         return done
+
+    def balance_violations(self, limit=1):
+        """Coarse leaves with a face neighbour more than `limit` levels
+        finer.  Refining these (repeatedly, one level per call) restores
+        the nc_limit invariant globally — MFEM's LimitNCLevel semantics,
+        which GeneralRefinement applies to the whole mesh on every call
+        (used by the reference at amr/laghos.cpp:653)."""
+        out = set()
+        for (kf, fidx) in self.leaves:
+            for d in range(self.dim):
+                for side in (-1, 1):
+                    nidx = list(fidx)
+                    nidx[d] += side
+                    n_at = self.base_n[d] << kf
+                    if nidx[d] < 0 or nidx[d] >= n_at:
+                        continue
+                    for dl in range(1, kf + 1):
+                        cand = (kf - dl, tuple(v >> dl for v in nidx))
+                        if cand in self.leaves:
+                            if dl > limit:
+                                out.add(cand)
+                            break
+        return sorted(out)
 
     def derefine(self, keys):
         """Derefine sibling groups whose members are all flagged and
@@ -202,8 +229,15 @@ class Forest:
                     n_at = self.base_n[dd] << k
                     if nidx[dd] < 0 or nidx[dd] >= n_at:
                         continue
-                    coarse = (k - 1, tuple(v >> 1 for v in nidx))
-                    if k == 0 or coarse not in self.leaves:
+                    # walk up ancestors: the neighbour leaf may be any
+                    # number of levels coarser (non-2:1 meshes)
+                    delta = None
+                    for dl in range(1, k + 1):
+                        cand = (k - dl, tuple(v >> dl for v in nidx))
+                        if cand in self.leaves:
+                            coarse, delta = cand, dl
+                            break
+                    if delta is None:
                         continue
                     # neighbor is coarser: face nodes of THIS leaf on that
                     # face are slaves of the coarse leaf's face nodes
@@ -215,9 +249,10 @@ class Forest:
                     # (offset + gl)/2 where offset = idx[t] & 1
                     tdims = [t for t in range(d) if t != dd]
                     Ws = []
+                    scale = 1 << delta
                     for t in tdims:
-                        off = idx[t] & 1
-                        pts = (off + gl) / 2.0
+                        off = idx[t] & (scale - 1)
+                        pts = (off + gl) / scale
                         B, _ = lagrange_tables(gl, pts)
                         Ws.append(B)      # (p+1, p+1): node a -> weights
                     # coarse face node ids: local lattice of coarse leaf
@@ -260,9 +295,9 @@ class Forest:
         t_of_n = np.full(nn, -1, dtype=np.int64)
         t_of_n[true_ids] = np.arange(true_ids.size)
 
-        # resolve chains: masters that are slaves get substituted (at most
-        # twice; 2:1 balance bounds the chain depth)
-        for _ in range(3):
+        # resolve chains: masters that are slaves get substituted (chain
+        # depth is bounded by max_depth on non-2:1 meshes)
+        for _ in range(self.max_depth + 2):
             changed = False
             for gid, (ms, ws) in list(slave_of.items()):
                 if any(is_slave[m] for m in ms):

@@ -31,9 +31,11 @@ def main(row=1, max_steps=-1):
     f = Forest(2, (2, 2), (1.0, 1.0), max_depth=cfg["rs"])
     # initial RefineAtVertex at the blast corner, rs times
     # (amr/laghos.cpp:199-209)
+    # RefineAtVertex does NOT enforce 2:1 (no nc_limit): the initial
+    # mesh has depth-rs cells directly neighbouring depth-0 cells
     for _ in range(cfg["rs"]):
         corner = [k for k in f.leaf_list() if all(v == 0 for v in k[1])]
-        f.refine(corner)
+        f.refine(corner, balance=False)
     opt = Options(problem=1, blast_energy=0.25, order_v=cfg["ok"],
                   order_e=cfg["ot"], cg_tol=1e-8)
     # reference initial mesh: base + (2^d-1)*rs zones (no 2:1 ripple)
