@@ -31,6 +31,7 @@ def run_amr(
     dt = float(dt0)
     last_step = False
     steps = 0
+    count_stage1 = False
     ti = 1
     norms = {}
     while not last_step:
@@ -40,7 +41,8 @@ def run_amr(
         if steps == max_steps:
             last_step = True
         S_old, t_old = S, t
-        S_new, dt_est, visc_max, _ = hydro.advance(S, dt)
+        S_new, dt_est, visc_max, _ = hydro.advance(S, dt, count_stage1)
+        count_stage1 = False
         steps += 1
         dt_est = float(dt_est)
         if dt_est < dt:
@@ -48,7 +50,8 @@ def run_amr(
             if dt < np.finfo(np.float64).eps:
                 raise RuntimeError("The time step crashed!")
             S, t = S_old, t_old
-            if steps < max_steps:
+            count_stage1 = True     # ResetQuadratureData: stage 1 will
+            if steps < max_steps:   # recompute and count in dt_est
                 last_step = False
             continue
         S = S_new
@@ -106,6 +109,7 @@ def run_amr(
                     print(f"Derefined -> {hydro.NE} elements.")
         if changed:
             S = hydro.state
+            count_stage1 = True     # AMRUpdate invalidates quad data
         ti += 1
 
     return {"steps": ti - 1, "t": t, "dt": dt, "e_norm": hydro.e_norm(),

@@ -224,8 +224,9 @@ class AMRHydro:
         if not hasattr(self, "_advance_jit"):
             self._advance_jit = jax.jit(self._advance_impl)
 
-    def advance(self, S, dt):
-        return self._advance_jit(S, jnp.asarray(dt, self.dtype), self.ctx)
+    def advance(self, S, dt, count_stage1=False):
+        return self._advance_jit(S, jnp.asarray(dt, self.dtype),
+                                 jnp.asarray(bool(count_stage1)), self.ctx)
 
     def pad_state(self, xT, vT, e):
         """Pad (d, nt)/(NE, ld) host arrays to capacity device arrays."""
@@ -366,8 +367,15 @@ class AMRHydro:
         de = self._solve_energy(ctx, sJit, S["v"])
         return ({"x": S["v"], "v": dv, "e": de}, dtmin, visc_max, h1it)
 
-    def _advance_impl(self, S, dt, ctx):
-        """RK4 step + dt estimate + per-zone max viscosity estimator."""
+    def _advance_impl(self, S, dt, count_stage1, ctx):
+        """RK4 step + dt estimate + per-zone max viscosity estimator.
+
+        count_stage1: the reference's stage-1 qupdate is memoized from
+        the previous post-step GetTimeStepEstimate, so its dt estimate
+        contributes ONLY when the quad data was invalidated — after a
+        rejected step (ResetQuadratureData) or a mesh change (AMRUpdate
+        sets quad_data_is_current = false).  Mirrors the main driver's
+        count_stage1 handling (laghos.cpp / laghos_solver.cpp:1028)."""
         ax = lambda a, c, b: jax.tree_util.tree_map(
             lambda u, v: u + c * v, a, b)
         k1, dtm1, v1, i1 = self._mult(ctx, S)
@@ -384,6 +392,8 @@ class AMRHydro:
         _, dtm5, v5 = self._qupdate(ctx, S_new)
         dt_est = jnp.minimum(jnp.minimum(dtm2, dtm3),
                              jnp.minimum(dtm4, dtm5))
+        dt_est = jnp.where(count_stage1, jnp.minimum(dt_est, dtm1),
+                           dt_est)
         # the estimator is the zone-max viscosity of the LAST qupdate
         # (amr/laghos_solver.cpp:467-468 resets it per call)
         return S_new, dt_est, v5, i1 + i2 + i3 + i4
