@@ -86,6 +86,10 @@ class Hydro:
     """Holds all static data + jitted step/estimate functions."""
 
     def __init__(self, mesh: Mesh, opt: Options, dtype=jnp.float64):
+        if opt.structured_el:
+            m2 = structured.reorder_mesh_elements_to_raster(mesh)
+            if m2 is not None:
+                mesh = m2
         self.mesh = mesh
         self.opt = opt
         self.dtype = dtype
@@ -119,11 +123,17 @@ class Hydro:
             "L2B": jnp.asarray(l2b.B, dtype),
             "W": jnp.asarray(W, dtype),
         }
-        self.gather = jnp.asarray(self.h1.gather)
-        self.ndof = self.h1.ndof
         self._sm = (structured.detect_structure(mesh, self.h1.gather,
                                                 opt.order_v)
                     if opt.structured_el else None)
+        if self._sm is not None:
+            # relabel dofs to the raster lattice so the struct
+            # transforms' permutation is the identity (saves ~1.7 ms per
+            # gather direction at 275k dofs)
+            self._sm = structured.renumber_space_to_raster(self.h1,
+                                                           self._sm)
+        self.gather = jnp.asarray(self.h1.gather)
+        self.ndof = self.h1.ndof
         if opt.gather_assembly and self._sm is None:
             inc, msk = mop.build_incidence(self.h1.gather, self.ndof)
             self._inc = jnp.asarray(inc)

@@ -65,6 +65,9 @@ def test_hydro_trajectory_struct_vs_generic():
                              structured_el=flag))
         assert (h._sm is not None) == flag
         r = run(h, t_final=0.02, max_steps=-1)
-        res[name] = (r.steps, np.asarray(r.S["e"]))
+        # canonical element order (struct mode reorders mesh elements)
+        cent = h.mesh.verts[h.mesh.corners_lattice()].mean(axis=1)
+        order = np.lexsort(cent.T)
+        res[name] = (r.steps, np.asarray(r.S["e"])[order])
     assert res["struct"][0] == res["generic"][0]
     assert np.abs(res["struct"][1] - res["generic"][1]).max() < 1e-10
