@@ -70,5 +70,12 @@ def run_row(row, verbose=True):
 
 
 if __name__ == "__main__":
-    row = int(sys.argv[1])
-    run_row(row)
+    if len(sys.argv) > 1:
+        run_row(int(sys.argv[1]))
+    else:
+        ok_all = True
+        for row in sorted(GOLDEN):
+            if row == 10:
+                continue          # documented-stale serial golden
+            ok_all &= run_row(row, verbose=False)
+        print("ALL-OK" if ok_all else "SOME-FAILED")
