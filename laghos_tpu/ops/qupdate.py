@@ -175,14 +175,12 @@ def qupdate3d(
     winv = 1.0 / W[None, :]
     h0_e = jnp.full_like(e_q, h0)
     if not use_viscosity:
-        # pressure-only stress: sJit[gd,vd] = -P Jinv[gd,vd] w detJ
-        detJ = (J9[0] * (J9[4] * J9[8] - J9[5] * J9[7])
-                - J9[1] * (J9[3] * J9[8] - J9[5] * J9[6])
-                + J9[2] * (J9[3] * J9[7] - J9[4] * J9[6]))
+        # pressure-only stress (inviscid problems): physics_3d skips the
+        # eigen-solve and the artificial-viscosity terms entirely
         sJit9, dtq, _ = qphys.physics_3d(
             J9, tuple(jnp.zeros_like(e_q) for _ in range(9)), Jac0inv9,
             e_q, rho0DetJ0w, gam, winv, h0_e=h0_e, h1order=h1order,
-            cfl=cfl, use_vorticity=False)
+            cfl=cfl, use_viscosity=False, use_vorticity=False)
     elif pallas:
         sJit9, dtq, _ = pallas_qphys.physics_3d_pallas9(
             J9, dV9, Jac0inv9, e_q, rho0DetJ0w, gam, W,

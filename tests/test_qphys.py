@@ -102,3 +102,23 @@ def test_physics_3d_no_64bit_leaks():
     jaxpr = jax.make_jaxpr(fn)(*J, *dV, *J0i, f32(), f32(), f32(), f32())
     hits = sorted(set(re.findall(r"(f64|i64|u64)", str(jaxpr))))
     assert not hits, f"64-bit values leaked into the kernel: {hits}"
+
+
+def test_qupdate3d_inviscid_matches_generic():
+    """p0-style (no viscosity) 3D qupdate: the scalarized path must agree
+    with the generic path on BOTH sJit and the dt estimate (regression:
+    a spurious sound-speed viscosity once leaked into dt)."""
+    m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
+    m = fmesh.uniform_refine(m)
+    h = Hydro(m, Options(problem=0))
+    assert not h.use_visc
+    S = h.S0
+    sj9, dt9 = h._qupdate(S)
+    sj, dt_old = qop.qupdate(
+        h._gather_e(S["x"]), h._gather_e(S["v"]), S["e"], h.gamma_j,
+        h.rho0DetJ0w_j, h.Jac0inv_j, h.tables, h.h0, dim=3,
+        h1order=float(h.opt.order_v), cfl=h.opt.cfl,
+        use_viscosity=False, use_vorticity=False)
+    assert np.isclose(float(dt9), float(dt_old), rtol=1e-13)
+    s9 = jnp.stack(sj9, axis=-1).reshape(h.NE, h.NQ, 3, 3)
+    assert np.abs(np.asarray(s9) - np.asarray(sj)).max() < 1e-13
