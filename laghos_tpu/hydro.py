@@ -123,6 +123,13 @@ class Hydro:
             "L2B": jnp.asarray(l2b.B, dtype),
             "W": jnp.asarray(W, dtype),
         }
+        # dense (NQ, nd) dof->qpoint operators: at Laghos orders a single
+        # MXU matmul beats the bandwidth-bound sum-factorized passes
+        h1bd, h1gd = top.dense_ops(h1b.B, h1b.G, d)
+        l2bd, _ = top.dense_ops(l2b.B, np.zeros_like(l2b.B), d)
+        self.tables["H1Bd"] = jnp.asarray(h1bd, dtype)
+        self.tables["H1Gd"] = tuple(jnp.asarray(g, dtype) for g in h1gd)
+        self.tables["L2Bd"] = jnp.asarray(l2bd, dtype)
         self._sm = (structured.detect_structure(mesh, self.h1.gather,
                                                 opt.order_v)
                     if opt.structured_el else None)
@@ -393,7 +400,8 @@ class Hydro:
     def _h1_apply_bc(self, u):
         d = self.dim
         ue = jnp.swapaxes(self._gather_e(u), 0, 1)
-        ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d)
+        ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d,
+                              Bd=self.tables["H1Bd"])
         y = self._assemble(ue)
         return jnp.where(self.ess_mask_j, 0.0, y)
 
@@ -453,7 +461,8 @@ class Hydro:
         if self.p_assembly:
             def apply_A(u):
                 ue = u.reshape(self.NE, self.ld)
-                ue = mop.mass_apply_e(ue, self.massD, self.tables["L2B"], d)
+                ue = mop.mass_apply_e(ue, self.massD, self.tables["L2B"],
+                                      d, Bd=self.tables["L2Bd"])
                 return ue.reshape(1, -1)
 
             res = cg(apply_A, e_rhs.reshape(1, -1), self.opt.cg_tol,

@@ -65,6 +65,12 @@ def force_mult_transpose(v_e, sJit, tables, *, dim: int):
     return out.reshape(NE, l1d**d)
 
 
+def _dense9(tables):
+    Bd = tables.get("L2Bd")
+    Gd = tables.get("H1Gd")
+    return (Bd, Gd) if Bd is not None and Gd is not None else None
+
+
 def force_mult9(e_b, sJit9, tables, *, ftz_eps2: float):
     """3D F . e with sJit as a 9-tuple of (NE, NQ) component arrays.
 
@@ -73,6 +79,19 @@ def force_mult9(e_b, sJit9, tables, *, ftz_eps2: float):
     the two minor axes to (8, 128), so a (NE, NQ, 3, 3) array pads ~57x
     in HBM.  sJit9 index: [gd * 3 + vd]."""
     d = 3
+    dense = _dense9(tables)
+    if dense is not None:
+        L2Bd, H1Gd = dense
+        EQ = e_b @ L2Bd.T                          # (NE, NQ)
+        comps = []
+        for vd in range(d):
+            acc = None
+            for gd in range(d):
+                term = (EQ * sJit9[gd * d + vd]) @ H1Gd[gd]
+                acc = term if acc is None else acc + term
+            comps.append(acc)
+        out = jnp.stack(comps, axis=1)             # (NE, d, nd)
+        return jnp.where(jnp.abs(out) < ftz_eps2, 0.0, out)
     H1Bt, H1Gt, L2B = tables["H1B"].T, tables["H1G"].T, tables["L2B"]
     NE = e_b.shape[0]
     l1d = L2B.shape[1]
@@ -97,6 +116,16 @@ def force_mult9(e_b, sJit9, tables, *, ftz_eps2: float):
 def force_mult_transpose9(v_e, sJit9, tables):
     """3D F^T . v with component-tuple q-data (see force_mult9)."""
     d = 3
+    dense = _dense9(tables)
+    if dense is not None:
+        L2Bd, H1Gd = dense
+        eq = None
+        for gd in range(d):
+            dv = v_e @ H1Gd[gd].T                  # (NE, d, NQ)
+            for vd in range(d):
+                term = dv[:, vd] * sJit9[gd * d + vd]
+                eq = term if eq is None else eq + term
+        return eq @ L2Bd
     H1B, H1G, L2Bt = tables["H1B"], tables["H1G"], tables["L2B"].T
     NE = v_e.shape[0]
     nd1 = H1B.shape[1]

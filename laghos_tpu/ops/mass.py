@@ -65,8 +65,14 @@ def e_to_l_gather(u_e, incidence, mask):
     return jnp.sum(vals * mask, axis=-1)
 
 
-def mass_apply_e(u_e, D, B, dim):
-    """Element-local mass apply: B^T (D * (B u)) on (..., NE, nd)."""
+def mass_apply_e(u_e, D, B, dim, Bd=None):
+    """Element-local mass apply: B^T (D * (B u)) on (..., NE, nd).
+
+    With Bd (dense (NQ, nd) operator, tensor.dense_ops) the apply is two
+    MXU matmuls instead of 2*dim bandwidth-bound tiny-axis passes."""
+    if Bd is not None:
+        q = u_e @ Bd.T
+        return (q * D) @ Bd
     nd1 = B.shape[1]
     nq1 = B.shape[0]
     shp = u_e.shape

@@ -160,16 +160,29 @@ def qupdate3d(
     NQ = nq1**d
     l1d = L2B.shape[1]
 
-    xt = x_e.reshape((NE, d) + (nd1,) * d)
-    vt = v_e.reshape((NE, d) + (nd1,) * d)
-    J9 = tuple(
-        tensor.eval_gradient_dir(xt[:, a], H1B, H1G, b, d).reshape(NE, NQ)
-        for a in range(d) for b in range(d))
-    dV9 = tuple(
-        tensor.eval_gradient_dir(vt[:, a], H1B, H1G, b, d).reshape(NE, NQ)
-        for a in range(d) for b in range(d))
-    et = e_b.reshape((NE,) + (l1d,) * d)
-    e_q = tensor.eval_values(et, L2B, d).reshape(NE, NQ)
+    H1Gd = tables.get("H1Gd")
+    L2Bd = tables.get("L2Bd")
+    if H1Gd is not None:
+        # dense (NQ, nd) operators: one MXU matmul per direction for all
+        # d components at once
+        dx = [x_e @ H1Gd[b].T for b in range(d)]   # (NE, d, NQ) each
+        dv = [v_e @ H1Gd[b].T for b in range(d)]
+        J9 = tuple(dx[b][:, a] for a in range(d) for b in range(d))
+        dV9 = tuple(dv[b][:, a] for a in range(d) for b in range(d))
+        e_q = e_b @ L2Bd.T
+    else:
+        xt = x_e.reshape((NE, d) + (nd1,) * d)
+        vt = v_e.reshape((NE, d) + (nd1,) * d)
+        J9 = tuple(
+            tensor.eval_gradient_dir(xt[:, a], H1B, H1G, b, d).reshape(
+                NE, NQ)
+            for a in range(d) for b in range(d))
+        dV9 = tuple(
+            tensor.eval_gradient_dir(vt[:, a], H1B, H1G, b, d).reshape(
+                NE, NQ)
+            for a in range(d) for b in range(d))
+        et = e_b.reshape((NE,) + (l1d,) * d)
+        e_q = tensor.eval_values(et, L2B, d).reshape(NE, NQ)
 
     gam = gamma[:, None]
     winv = 1.0 / W[None, :]

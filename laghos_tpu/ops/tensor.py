@@ -73,3 +73,30 @@ def eval_gradient_dir(u: jnp.ndarray, B: jnp.ndarray, G: jnp.ndarray,
     for k in range(d):
         u = apply_axis(u, G if k == b else B, k, d)
     return u
+
+
+def dense_ops(B: jnp.ndarray, G: jnp.ndarray, d: int):
+    """Dense dof->qpoint operators from 1D tables: (NQ, nd) matrices.
+
+    Sum-factorization minimizes FLOPs but runs as 3 passes of tiny-axis
+    contractions — bandwidth-bound and transpose-heavy on TPU.  At the
+    orders Laghos uses (nd <= 125, NQ <= 512) a single dense
+    (NE, nd) @ (nd, NQ) matmul per field maps straight onto the MXU and
+    wins by ~5x.  Returns (Bd, [Gd_0 .. Gd_{d-1}]) with x the FASTEST
+    axis on both the dof and qpoint flat indices (matching the gather
+    maps and the flat W ordering).
+    """
+    import numpy as np
+
+    Bn = np.asarray(B)
+    Gn = np.asarray(G)
+    Bd = np.ones((1, 1))
+    for _ in range(d):
+        Bd = np.kron(Bn, Bd)      # x fastest
+    Gds = []
+    for b in range(d):
+        M = np.ones((1, 1))
+        for k in range(d):
+            M = np.kron(Gn if k == b else Bn, M)
+        Gds.append(M)
+    return Bd, Gds
