@@ -60,6 +60,10 @@ class Options:
     structured_el: bool = True    # parity-decomposed E<->L transforms on
                                   # Cartesian meshes (ops/structured.py);
                                   # auto-falls back when not applicable
+    dense_ops: bool = False       # dense (NQ, nd) dof->qpoint operators
+                                  # instead of sum-factorized passes;
+                                  # measured neutral at Q2, -5% at Q4 on
+                                  # v5e, kept as an option
 
 
 def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
@@ -123,13 +127,12 @@ class Hydro:
             "L2B": jnp.asarray(l2b.B, dtype),
             "W": jnp.asarray(W, dtype),
         }
-        # dense (NQ, nd) dof->qpoint operators: at Laghos orders a single
-        # MXU matmul beats the bandwidth-bound sum-factorized passes
-        h1bd, h1gd = top.dense_ops(h1b.B, h1b.G, d)
-        l2bd, _ = top.dense_ops(l2b.B, np.zeros_like(l2b.B), d)
-        self.tables["H1Bd"] = jnp.asarray(h1bd, dtype)
-        self.tables["H1Gd"] = tuple(jnp.asarray(g, dtype) for g in h1gd)
-        self.tables["L2Bd"] = jnp.asarray(l2bd, dtype)
+        if opt.dense_ops:
+            h1bd, h1gd = top.dense_ops(h1b.B, h1b.G, d)
+            l2bd, _ = top.dense_ops(l2b.B, np.zeros_like(l2b.B), d)
+            self.tables["H1Bd"] = jnp.asarray(h1bd, dtype)
+            self.tables["H1Gd"] = tuple(jnp.asarray(g, dtype) for g in h1gd)
+            self.tables["L2Bd"] = jnp.asarray(l2bd, dtype)
         self._sm = (structured.detect_structure(mesh, self.h1.gather,
                                                 opt.order_v)
                     if opt.structured_el else None)
@@ -401,7 +404,7 @@ class Hydro:
         d = self.dim
         ue = jnp.swapaxes(self._gather_e(u), 0, 1)
         ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d,
-                              Bd=self.tables["H1Bd"])
+                              Bd=self.tables.get("H1Bd"))
         y = self._assemble(ue)
         return jnp.where(self.ess_mask_j, 0.0, y)
 
@@ -462,7 +465,7 @@ class Hydro:
             def apply_A(u):
                 ue = u.reshape(self.NE, self.ld)
                 ue = mop.mass_apply_e(ue, self.massD, self.tables["L2B"],
-                                      d, Bd=self.tables["L2Bd"])
+                                      d, Bd=self.tables.get("L2Bd"))
                 return ue.reshape(1, -1)
 
             res = cg(apply_A, e_rhs.reshape(1, -1), self.opt.cg_tol,
