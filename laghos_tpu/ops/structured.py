@@ -164,10 +164,13 @@ def _windows(v, n, p):
     """(..., L=np+1) -> (..., n, p+1) overlapping element windows.
 
     Window e starts at lattice e*p.  Same-parity windows are 2p apart
-    (disjoint for p >= 1), so each parity class is a pad + reshape."""
+    (disjoint for p >= 1), so each parity class is a pad + reshape; the
+    parities interleave back by a stack + reshape (no strided scatter)."""
     parts = {}
+    nbs = {}
     for q in (0, 1):
         nb = _nb(n, q)
+        nbs[q] = nb
         if nb == 0:
             continue
         start = q * p
@@ -176,27 +179,37 @@ def _windows(v, n, p):
         w = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
         w = w[..., start:start + nb * 2 * p]
         parts[q] = w.reshape(v.shape[:-1] + (nb, 2 * p))[..., :p + 1]
-    out = jnp.zeros(v.shape[:-1] + (n, p + 1), v.dtype)
-    out = out.at[..., 0::2, :].set(parts[0])
-    if 1 in parts:
-        out = out.at[..., 1::2, :].set(parts[1])
-    return out
+    if 1 not in parts:
+        return parts[0]
+    p0, p1 = parts[0], parts[1]
+    if nbs[1] < nbs[0]:        # odd n: pad the shorter parity by one row
+        p1 = jnp.pad(p1, [(0, 0)] * (p1.ndim - 2) + [(0, 1), (0, 0)])
+    out = jnp.stack([p0, p1], axis=-2)        # (..., nb0, 2, p+1)
+    out = out.reshape(v.shape[:-1] + (2 * nbs[0], p + 1))
+    return out[..., :n, :]
 
 
 def _windows_t(w, n, p):
     """Transpose of _windows: (..., n, p+1) -> (..., np+1) with adds."""
     L = n * p + 1
+    # de-interleave by reshape instead of strided slicing
+    nb0, nb1 = _nb(n, 0), _nb(n, 1)
+    wp = w
+    if n % 2 == 1:
+        wp = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, 1), (0, 0)])
+    wp = wp.reshape(w.shape[:-2] + (nb0, 2, p + 1))
+    parts = {0: wp[..., 0, :], 1: wp[..., 1, :][..., :nb1, :]}
     acc = None
     for q in (0, 1):
         nb = _nb(n, q)
         if nb == 0:
             continue
-        v = w[..., q::2, :]                                   # (..., nb, p+1)
+        v = parts[q]                                          # (..., nb, p+1)
         v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, p - 1)])
         v = v.reshape(v.shape[:-2] + (nb * 2 * p,))
         start = q * p
-        full = jnp.zeros(w.shape[:-2] + (L + 2 * p,), w.dtype)
-        full = full.at[..., start:start + nb * 2 * p].set(v)
+        pad_r = (L + 2 * p) - (start + nb * 2 * p)
+        full = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(start, pad_r)])
         full = full[..., :L]
         acc = full if acc is None else acc + full
     return acc
