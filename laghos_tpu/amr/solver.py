@@ -398,10 +398,6 @@ class AMRHydro:
         # (amr/laghos_solver.cpp:467-468 resets it per call)
         return S_new, dt_est, v5, i1 + i2 + i3 + i4
 
-    def _estimator_impl(self, S):
-        _, _, visc = self._qupdate(S)
-        return visc
-
     # ------------------------------------------------------------------
     def apply_amr(self, refine_keys=(), deref_keys=()):
         """Modify the forest and transfer (x, v, e, x0) to the new space.

@@ -175,6 +175,10 @@ def main(argv=None):
         from .checkpoint import load
 
         S_init, t0, dt0, st0 = load(args.restore)
+        # the checkpoint records the last COMPLETED step; resume at the
+        # next one so norms keys / vis cadence / --checks step alignment
+        # match an uninterrupted run
+        st0 += 1
     check_steps = ()
     if args.check:
         from .verify import CHECKS_TABLE

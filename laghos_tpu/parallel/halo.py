@@ -81,6 +81,19 @@ def build_layout(space, D: int) -> HaloLayout:
         owned[k, :dofs.size] = (first_owner[dofs] == k).astype(np.float64)
         ess[k, :, :dofs.size] = ess_g[:, dofs]
 
+    # The exchange plan only covers adjacent slabs (k, k+1).  If a slab is
+    # thinner than one raster element layer, a dof can be shared by
+    # NON-adjacent slabs and its contributions would silently be dropped —
+    # fail loudly instead (use fewer devices or a coarser partition).
+    for k in range(D):
+        for j in range(k + 2, D):
+            far = np.intersect1d(glob_sets[k], glob_sets[j])
+            if far.size:
+                raise ValueError(
+                    f"halo layout: {far.size} dofs shared between "
+                    f"non-adjacent slabs {k} and {j}; slabs must be at "
+                    f"least one element layer thick (reduce device count)")
+
     H = 1
     pairs = []
     for k in range(D - 1):

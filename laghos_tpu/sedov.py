@@ -108,13 +108,17 @@ class SedovSolution:
         g, d, w = self.gamma, self.dim, self.omega
         a0, a1, a2, a3, a4, a5 = (self.alpha0, self.alpha1, self.alpha2,
                                   self.alpha3, self.alpha4, self.alpha5)
-        return (-(g + 1) / (g - 1) * V**2
-                * (a0 / V + a2 * self.c / (self.c * V - 1)
-                   - a1 * self.e / (1 - self.e * V))
-                * (self._x1(V) ** a0 * self._x2(V) ** a2
-                   * self._x3(V) ** a1) ** (-(d + 2 - w))
-                * self._x2(V) ** a3 * self._x3(V) ** a4
-                * self._x4(V) ** a5)
+        # x2(V) -> 0 at the integration endpoint; the resulting inf/0
+        # terms are discarded by the adaptive quadrature's endpoint
+        # handling — silence the benign warnings at the source
+        with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+            return (-(g + 1) / (g - 1) * V**2
+                    * (a0 / V + a2 * self.c / (self.c * V - 1)
+                       - a1 * self.e / (1 - self.e * V))
+                    * (self._x1(V) ** a0 * self._x2(V) ** a2
+                       * self._x3(V) ** a1) ** (-(d + 2 - w))
+                    * self._x2(V) ** a3 * self._x3(V) ** a4
+                    * self._x4(V) ** a5)
 
     def _j2_integrand(self, V):
         g, d, w = self.gamma, self.dim, self.omega
@@ -123,13 +127,14 @@ class SedovSolution:
         denom = 1 - self.c * V
         if abs(denom) <= 1e-15:
             denom = np.copysign(1e-15, denom)
-        return (-(g + 1) / (2 * g) * V**2 * (self.c * V - g) / denom
-                * (a0 / V + a2 * self.c / -denom
-                   - a1 * self.e / (1 - self.e * V))
-                * (self._x1(V) ** a0 * self._x2(V) ** a2
-                   * self._x3(V) ** a1) ** (-(d + 2 - w))
-                * self._x2(V) ** a3 * self._x3(V) ** a4
-                * self._x4(V) ** a5)
+        with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+            return (-(g + 1) / (2 * g) * V**2 * (self.c * V - g) / denom
+                    * (a0 / V + a2 * self.c / -denom
+                       - a1 * self.e / (1 - self.e * V))
+                    * (self._x1(V) ** a0 * self._x2(V) ** a2
+                       * self._x3(V) ** a1) ** (-(d + 2 - w))
+                    * self._x2(V) ** a3 * self._x3(V) ** a4
+                    * self._x4(V) ** a5)
 
     def set_time(self, t):
         d, w = self.dim, self.omega
