@@ -69,9 +69,14 @@ def main():
     m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
     for _ in range(rs):
         m = fmesh.uniform_refine(m)
+    # cg_tol: the reference default is 1e-8 (laghos.cpp -cgt), used
+    # verbatim for f64; f32 cannot converge below ~sqrt(eps_f32) so the
+    # f32 production row runs at 2e-7 (documented in the emitted JSON).
+    cgt = float(os.environ.get(
+        "BENCH_CGT", "1e-8" if dts == "f64" else "2e-7"))
     opt = Options(problem=1, blast_energy=2.0, ode_solver=4,
                   order_v=ok, order_e=ot, use_pallas=use_pallas,
-                  cg_tol=1e-8 if dts == "f64" else 2e-7)
+                  cg_tol=cgt)
     h = Hydro(m, opt, dtype=dtype)
 
     # short real trajectory for a representative state + iteration counts
@@ -110,18 +115,27 @@ def main():
     H1_dofs = h.ndof * 3
     L2_dofs = h.NE * h.ld
     n_mults = steps * rk_stages
-    T1 = t_cg * n_mults * 3          # dim CG solves per Mult (batched here)
+    # ONE batched CG solves all dim velocity components per Mult (the
+    # reference runs dim sequential scalar solves, laghos_solver.cpp:363,
+    # and divides iterations by dim in FOM1, laghos_solver.cpp:722) — so
+    # T1 charges the batched solve once and iters counts per-component
+    # iterations, keeping FOM1 = dofs*iters/time comparable.
+    T1 = t_cg * n_mults
     T2 = t_f * n_mults               # force + transpose per Mult
     # qupdates per step: stages 2..4 + the post-step estimate = rk_stages
     # (stage 1 reuses the previous estimate's qdata, like the reference's
     # memoization at laghos_solver.cpp:807-814)
     T3 = t_q * n_mults
-    H1iter_total = cg_iters_per_solve * n_mults * 3
-    FOM1 = 1e-6 * H1_dofs * (H1iter_total / 3) / T1
+    FOM1 = 1e-6 * H1_dofs * (cg_iters_per_solve * n_mults) / T1
     FOM2 = 1e-6 * (n_mults) * (H1_dofs + L2_dofs) / T2
     FOM3 = 1e-6 * h.NE * n_mults * h.NQ / T3
     TT = T1 + T2 + T3
     FOM = (FOM1 * T1 + FOM2 * T2 + FOM3 * T3) / TT
+
+    # energy-conservation figure for the trajectory the phases were
+    # sampled from (the north star conditions the FOM on drift <= 1e-12
+    # for the RK2Avg stepper; RK4 reports its truncation-level drift)
+    drift = abs(res.energy_final - res.energy_init) / abs(res.energy_init)
 
     import sys
 
@@ -136,6 +150,9 @@ def main():
         "value": round(FOM, 3),
         "unit": "megadofs*steps/s",
         "vs_baseline": None,
+        "energy_drift_rel": float(f"{drift:.3e}"),
+        "cg_tol": opt.cg_tol,
+        "steps_sampled": steps,
     }))
 
 
