@@ -38,8 +38,11 @@ def _split(A, n_slices, axis):
     mx = jnp.where(mx == 0.0, 1.0, mx)
     # exponent such that |A| * 2^-e <= 1/2: first slice magnitude <= 64,
     # and round-to-nearest keeps every residual slice <= 64 too — no int8
-    # clipping anywhere, so the decomposition is exact.
-    e = jnp.floor(jnp.log2(mx)) + 1.0
+    # clipping anywhere, so the decomposition is exact.  ceil, not floor:
+    # floor+1 leaves m in (1/2, 1] and round(m*2^Q) can hit 2^Q = 128,
+    # overflowing int8 (observed as a 2^-Q relative error on rows whose
+    # max sits within 0.4% below a power of two).
+    e = jnp.ceil(jnp.log2(mx)) + 1.0
     m = A * jnp.exp2(-e)
     outs = []
     r = m
