@@ -63,6 +63,9 @@ def main():
     ok = int(os.environ.get("BENCH_OK", "2"))   # Q2-Q1 or Q4-Q3 (BASELINE)
     ot = int(os.environ.get("BENCH_OT", str(ok - 1)))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_ozaki = os.environ.get("BENCH_OZAKI", "0") == "1"
+    if use_ozaki:
+        dts = "f64"
     dtype = jnp.float64 if dts == "f64" else jnp.float32
 
     # unit cube, 2x2x2 hexes (the cube01_hex geometry), refined rs times
@@ -74,9 +77,10 @@ def main():
     # f32 production row runs at 2e-7 (documented in the emitted JSON).
     cgt = float(os.environ.get(
         "BENCH_CGT", "1e-8" if dts == "f64" else "2e-7"))
+    warm = os.environ.get("BENCH_WARM", "0") == "1"
     opt = Options(problem=1, blast_energy=2.0, ode_solver=4,
                   order_v=ok, order_e=ot, use_pallas=use_pallas,
-                  cg_tol=cgt)
+                  cg_tol=cgt, ozaki=use_ozaki, cg_warm_start=warm)
     h = Hydro(m, opt, dtype=dtype)
 
     # short real trajectory for a representative state + iteration counts
@@ -105,11 +109,27 @@ def main():
 
     B = jax.block_until_ready(h._jprep_v(h._jforce1(sJit)))
 
-    def _cg_body(b):
-        x, it = h._cg_velocity(b)
-        return b + eps * x
+    if warm:
+        # warm mode: measure a stage-representative warm-started solve —
+        # x0 is the converged acceleration of the state ONE FULL STEP
+        # earlier (conservative: RK stages are closer than full steps)
+        S2, _, _, _ = h.advance(S, float(res.dt))
+        sj2, _ = jax.block_until_ready(h._jq(S2))
+        B2 = jax.block_until_ready(h._jprep_v(h._jforce1(sj2)))
+        x1, _ = jax.block_until_ready(h._jcg_v(B))
+        cgw = jax.jit(lambda b, x0: h._cg_velocity(b, x0=x0))
 
-    t_cg = _timed_loop(_cg_body, B, max(2, iters // 2))
+        def _cg_body(b):
+            x, it = cgw(b, x1)
+            return b + eps * x
+
+        t_cg = _timed_loop(_cg_body, B2, max(2, iters // 2))
+    else:
+        def _cg_body(b):
+            x, it = h._cg_velocity(b)
+            return b + eps * x
+
+        t_cg = _timed_loop(_cg_body, B, max(2, iters // 2))
 
     # ---- FOM assembly (reference formulas, laghos_solver.cpp:722-727) ---
     H1_dofs = h.ndof * 3
@@ -146,7 +166,8 @@ def main():
         file=sys.stderr)
     print(json.dumps({
         "metric": (f"3D Sedov Q{ok}-Q{ot} FOM (rs{rs}, NE={h.NE}, "
-                   f"{dts}{'+pallas' if use_pallas else ''}, 1 chip)"),
+                   f"{dts}{'+ozaki' if use_ozaki else ''}"
+                   f"{'+pallas' if use_pallas else ''}, 1 chip)"),
         "value": round(FOM, 3),
         "unit": "megadofs*steps/s",
         "vs_baseline": None,

@@ -8,6 +8,7 @@ Flag names follow laghos.cpp:181-278 so reference command lines translate
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import numpy as np
 
@@ -74,7 +75,20 @@ def build_parser():
     p.add_argument("-nd", "--n-devices", type=int, default=1,
                    dest="n_devices",
                    help="shard the element axis over this many devices")
+    p.add_argument("--halo", action="store_true", dest="halo",
+                   help="with -nd: structured-slab shard_map distribution "
+                        "(ppermute plane halos, psum dots, pmin dt — the "
+                        "production multi-chip path) instead of GSPMD "
+                        "sharding")
     p.add_argument("--dtype", default="f64", choices=["f64", "f32"])
+    p.add_argument("--ozaki", action="store_true", dest="ozaki",
+                   help="f64 TPU production mode: hot contractions as "
+                        "int8-MXU integer-slice matmuls (3D PA only)")
+    p.add_argument("--precond", default="jacobi",
+                   choices=["jacobi", "schwarz"],
+                   help="velocity CG preconditioner (jacobi = reference "
+                        "parity; schwarz = element-block additive "
+                        "Schwarz, fewer iterations)")
     p.add_argument("--checkpoint", default=None,
                    help="write an NPZ checkpoint of (S, t, dt, step) here "
                         "every vis_steps")
@@ -159,13 +173,20 @@ def main(argv=None):
         cg_max_iter=args.cg_max_iter, ftz_tol=args.ftz_tol,
         p_assembly=args.pa, impose_visc=args.impose_visc,
         blast_energy=args.blast_energy, delta_tol=args.delta_tol,
-        ode_solver=args.ode_solver)
+        ode_solver=args.ode_solver, ozaki=args.ozaki,
+        precond=args.precond)
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     h = Hydro(m, opt, dtype=dtype)
+    run_h = h
     if args.n_devices > 1:
-        from .parallel.sharding import device_mesh, shard_hydro
+        if args.halo:
+            from .parallel.slab_hydro import SlabHydro
 
-        shard_hydro(h, device_mesh(args.n_devices))
+            run_h = SlabHydro(h, n_devices=args.n_devices)
+        else:
+            from .parallel.sharding import device_mesh, shard_hydro
+
+            shard_hydro(h, device_mesh(args.n_devices))
     print(f"Number of kinematic (position, velocity) dofs: "
           f"{h.ndof * m.dim}")
     print(f"Number of specific internal energy dofs: {h.NE * h.ld}")
@@ -200,13 +221,23 @@ def main(argv=None):
 
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
+    if run_h is not h:
+        if S_init is not None:
+            raise SystemExit("--restore is not supported with --halo yet")
+        if on_vis is not None:
+            inner_vis = on_vis
+            on_vis = lambda ti, t, S: inner_vis(  # noqa: E731
+                ti, t, run_h.to_global(S))
     with prof:
         res = driver.run(
-            h, t_final=args.t_final, max_steps=args.max_steps,
+            run_h, t_final=args.t_final, max_steps=args.max_steps,
             vis_steps=args.vis_steps, verbose=True, timing=args.fom,
             S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
             checkpoint_path=args.checkpoint, check_steps=check_steps,
             on_vis=on_vis)
+    if run_h is not h and res.S is not None:
+        res = dataclasses.replace(res, S={
+            k: jnp.asarray(v) for k, v in run_h.to_global(res.S).items()})
     if args.check:
         from .verify import run_checks
 

@@ -64,6 +64,31 @@ class Options:
                                   # instead of sum-factorized passes;
                                   # measured neutral at Q2, -5% at Q4 on
                                   # v5e, kept as an option
+    ozaki: bool = False           # f64 production mode for TPU: run the
+                                  # hot contractions (CG mass applies,
+                                  # force pair, qupdate interpolation) as
+                                  # int8-MXU integer-slice matmuls
+                                  # (ops/omm.py) — f64-accurate results
+                                  # without the VPU f64-emulation tax.
+                                  # 3D + PA + f64 only.
+    precond: str = "jacobi"       # velocity-mass CG preconditioner:
+                                  # "jacobi" = PA diagonal (reference
+                                  # parity, laghos_solver.cpp:266-270);
+                                  # "schwarz" = element-block additive
+                                  # Schwarz (symmetrized by 1/sqrt(mult)
+                                  # counting weights) — measured MORE
+                                  # iterations than jacobi (GLL mass is
+                                  # already near-diagonal); kept as an
+                                  # option, not recommended.
+    cg_warm_start: bool = False   # warm-start the stage-k mass solves
+                                  # from the stage-(k-1) accelerations
+                                  # (same convergence target as a cold
+                                  # solve, referenced to |b|).  The
+                                  # reference always cold-starts
+                                  # (iterative_mode=false,
+                                  # laghos_solver.cpp:278-283), so
+                                  # iteration counts are non-parity;
+                                  # solutions agree to cg_tol.
 
 
 def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
@@ -133,6 +158,24 @@ class Hydro:
             self.tables["H1Bd"] = jnp.asarray(h1bd, dtype)
             self.tables["H1Gd"] = tuple(jnp.asarray(g, dtype) for g in h1gd)
             self.tables["L2Bd"] = jnp.asarray(l2bd, dtype)
+        self.oz = None
+        if opt.ozaki:
+            if d != 3 or dtype != jnp.float64 or not self.p_assembly:
+                raise ValueError(
+                    "ozaki mode covers the 3D f64 partial-assembly path")
+            from .ops import omm
+            h1bd, h1gd = top.dense_ops(h1b.B, h1b.G, d)
+            l2bd, _ = top.dense_ops(l2b.B, np.zeros_like(l2b.B), d)
+            gcat = np.concatenate(list(h1gd), axis=0)       # (3NQ, nd)
+            self.oz = {
+                "h1": (omm.split_static(h1bd.T), omm.split_static(h1bd)),
+                "l2": (omm.split_static(l2bd.T), omm.split_static(l2bd)),
+                "force": (omm.split_static(l2bd.T), omm.split_static(gcat)),
+                "forceT": (omm.split_static(gcat.T),
+                           omm.split_static(l2bd)),
+                "qup": (omm.split_static(gcat.T),
+                        omm.split_static(l2bd.T)),
+            }
         self._sm = (structured.detect_structure(mesh, self.h1.gather,
                                                 opt.order_v)
                     if opt.structured_el else None)
@@ -209,6 +252,17 @@ class Hydro:
         diag = mop.h1_mass_diag(self.gather, self.ndof, self.massD,
                                 self.tables["H1B"], d)
         self.h1_dinv = 1.0 / diag
+        self._schwarz = None
+        if opt.precond == "schwarz":
+            Me_h1 = mop.element_mass_matrices(
+                np.asarray(self.massD), np.asarray(h1b.B), d)
+            counts = np.zeros(self.ndof)
+            np.add.at(counts, self.h1.gather.reshape(-1), 1.0)
+            self._schwarz = (
+                jnp.asarray(np.linalg.inv(Me_h1), dtype),
+                jnp.asarray(1.0 / np.sqrt(counts), dtype))
+        elif opt.precond != "jacobi":
+            raise ValueError(f"unknown precond {opt.precond!r}")
         Me = np.asarray(
             mop.l2_mass_matrices(self.massD, self.tables["L2B"], d))
         self.Me_inv = jnp.asarray(np.linalg.inv(Me), dtype)  # (NE, ld, ld)
@@ -360,7 +414,8 @@ class Hydro:
                 h1order=float(self.opt.order_v), cfl=self.opt.cfl,
                 use_viscosity=self.use_visc, use_vorticity=self.use_vort,
                 pallas=(self.opt.use_pallas and self.use_visc
-                        and self.dtype == jnp.float32))
+                        and self.dtype == jnp.float32),
+                oz=None if self.oz is None else self.oz["qup"])
         return qop.qupdate(
             x_e, v_e, S["e"], self.gamma_j, self.rho0DetJ0w_j,
             self.Jac0inv_j, self.tables, self.h0,
@@ -386,8 +441,13 @@ class Hydro:
         SolveVelocity, laghos_solver.cpp:354)."""
         d = self.dim
         if isinstance(sJit, tuple):
-            Fone = fop.force_mult9(self.one_l2, sJit, self.tables,
-                                   ftz_eps2=self.ftz_eps2)
+            if self.oz is not None:
+                Fone = fop.force_mult9_oz(self.one_l2, sJit,
+                                          self.oz["force"],
+                                          ftz_eps2=self.ftz_eps2)
+            else:
+                Fone = fop.force_mult9(self.one_l2, sJit, self.tables,
+                                       ftz_eps2=self.ftz_eps2)
         else:
             Fone = fop.force_mult(self.one_l2, sJit, self.tables, dim=d,
                                   ftz_eps2=self.ftz_eps2)  # (NE, d, nd)
@@ -404,16 +464,29 @@ class Hydro:
         d = self.dim
         ue = jnp.swapaxes(self._gather_e(u), 0, 1)
         ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d,
-                              Bd=self.tables.get("H1Bd"))
+                              Bd=self.tables.get("H1Bd"),
+                              oz=None if self.oz is None else self.oz["h1"])
         y = self._assemble(ue)
         return jnp.where(self.ess_mask_j, 0.0, y)
 
-    def _cg_velocity(self, rhs):
+    def _precond_velocity(self, r):
+        if self._schwarz is None:
+            return r * self.h1_dinv[None, :]
+        # element-block additive Schwarz: symmetric (SPD) via the
+        # 1/sqrt(multiplicity) counting weights on both sides
+        Ainv, w = self._schwarz
+        rw = jnp.where(self.ess_mask_j, 0.0, r) * w[None, :]
+        re = self._gather_e(rw)                     # (NE, d, nd)
+        ye = jnp.einsum("eij,edj->edi", Ainv, re)
+        y = self._assemble(jnp.swapaxes(ye, 0, 1)) * w[None, :]
+        return jnp.where(self.ess_mask_j, 0.0, y)
+
+    def _cg_velocity(self, rhs, x0=None):
         d = self.dim
         if self.p_assembly:
             res = cg(self._h1_apply_bc, rhs, self.opt.cg_tol,
                      self.opt.cg_max_iter,
-                     precond=lambda r: r * self.h1_dinv[None, :])
+                     precond=self._precond_velocity, x0=x0)
             return res.x, jnp.sum(res.iters)
         # FA: one coupled CG over all components (laghos_solver.cpp:400-439)
         flat = rhs.reshape(1, -1)
@@ -427,9 +500,9 @@ class Hydro:
                  precond=lambda r: r * dinv)
         return res.x.reshape(d, -1), jnp.sum(res.iters)
 
-    def _solve_velocity(self, sJit):
+    def _solve_velocity(self, sJit, x0=None):
         return self._cg_velocity(self._prep_velocity_rhs(
-            self._force_rhs_raw(sJit)))
+            self._force_rhs_raw(sJit)), x0=x0)
 
     def _taylor_source(self, S):
         """(f, psi) with the Taylor-Green forcing on the current mesh
@@ -456,45 +529,57 @@ class Hydro:
         d = self.dim
         v_e = self._gather_e(v)
         if isinstance(sJit, tuple):
+            if self.oz is not None:
+                return fop.force_mult_transpose9_oz(v_e, sJit,
+                                                    self.oz["forceT"])
             return fop.force_mult_transpose9(v_e, sJit, self.tables)
         return fop.force_mult_transpose(v_e, sJit, self.tables, dim=d)
 
-    def _cg_energy(self, e_rhs):
+    def _cg_energy(self, e_rhs, x0=None):
         d = self.dim
         if self.p_assembly:
             def apply_A(u):
                 ue = u.reshape(self.NE, self.ld)
-                ue = mop.mass_apply_e(ue, self.massD, self.tables["L2B"],
-                                      d, Bd=self.tables.get("L2Bd"))
+                ue = mop.mass_apply_e(
+                    ue, self.massD, self.tables["L2B"], d,
+                    Bd=self.tables.get("L2Bd"),
+                    oz=None if self.oz is None else self.oz["l2"])
                 return ue.reshape(1, -1)
 
             res = cg(apply_A, e_rhs.reshape(1, -1), self.opt.cg_tol,
-                     self.opt.cg_max_iter)
+                     self.opt.cg_max_iter,
+                     x0=None if x0 is None else x0.reshape(1, -1))
             iters = jnp.maximum(res.iters[0], 1)
             return res.x.reshape(self.NE, self.ld), iters
         de = jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
         return de, jnp.asarray(self.NE)
 
-    def _solve_energy(self, S, sJit, v):
+    def _solve_energy(self, S, sJit, v, x0=None):
         e_rhs = self._force_transpose(sJit, v)
         if self.source == 1:
             e_rhs = e_rhs + self._taylor_source(S)
-        return self._cg_energy(e_rhs)
+        return self._cg_energy(e_rhs, x0=x0)
 
-    def _mult(self, S, sJit=None):
+    def _mult(self, S, sJit=None, warm=None):
         """dS/dt (laghos_solver.cpp:308-327). Returns (dS, dtmin, stats).
 
         When `sJit` is provided, the quadrature data is reused instead of
         recomputed — the reference's qdata memoization
         (laghos_solver.cpp:807-814): stage 1 of every accepted step reuses
         the qdata computed by the previous GetTimeStepEstimate.
+        `warm` is an optional per-step dict cell carrying the previous
+        stage's accelerations as CG warm starts (Options.cg_warm_start).
         """
         if sJit is None:
             sJit, dtmin = self._qupdate(S)
         else:
             dtmin = jnp.asarray(jnp.inf, self.dtype)
-        dv, h1it = self._solve_velocity(sJit)
-        de, l2it = self._solve_energy(S, sJit, S["v"])
+        x0v = warm.get("dv") if warm is not None else None
+        x0e = warm.get("de") if warm is not None else None
+        dv, h1it = self._solve_velocity(sJit, x0=x0v)
+        de, l2it = self._solve_energy(S, sJit, S["v"], x0=x0e)
+        if warm is not None:
+            warm["dv"], warm["de"] = dv, de
         dS = {"x": S["v"], "v": dv, "e": de}
         return dS, dtmin, (h1it, l2it)
 
@@ -553,12 +638,18 @@ class Hydro:
 
     # -------------------------------------------------- steppers ---------
     def _step(self, S, dt, count_stage1: bool, mult=None, rk2avg_stage=None,
-              sJit1=None):
-        """One RK step; returns (S_new, dt_min_of_counted_stages, stats)."""
+              sJit1=None, mult1=None):
+        """One RK step; returns (S_new, dt_min_of_counted_stages, stats).
+
+        `mult`/`mult1`/`rk2avg_stage` overrides let distributed wrappers
+        (parallel/slab_hydro.py) reuse the stepper tableaus with local
+        per-device operators."""
+        warm = {} if self.opt.cg_warm_start else None
         if mult is None:
-            mult = self._mult
-        mult1 = (lambda Sc: mult(Sc)) if sJit1 is None else \
-            (lambda Sc: self._mult(Sc, sJit1))
+            mult = (lambda Sc: self._mult(Sc, warm=warm))
+        if mult1 is None:
+            mult1 = (lambda Sc: mult(Sc)) if sJit1 is None else \
+                (lambda Sc: self._mult(Sc, sJit1, warm=warm))
         inf = jnp.asarray(jnp.inf, self.dtype)
         h1tot = jnp.asarray(0)
         l2tot = jnp.asarray(0)
@@ -577,7 +668,7 @@ class Hydro:
         s = self.opt.ode_solver
         if s == 7:
             S_new = self._rk2avg(S, dt, count_stage1, acc, rk2avg_stage,
-                                 sJit1=sJit1)
+                                 sJit1=sJit1, warm=warm)
         elif s == 1:
             k1, dtm, st = mult1(S)
             acc(dtm, st, count_stage1)
@@ -627,7 +718,8 @@ class Hydro:
             raise ValueError(f"unknown ode solver {s}")
         return S_new, dtacc, (h1tot, l2tot)
 
-    def _rk2avg(self, S, dt, count_stage1, acc, stage_fn=None, sJit1=None):
+    def _rk2avg(self, S, dt, count_stage1, acc, stage_fn=None, sJit1=None,
+                warm=None):
         """Energy-conserving two-stage average scheme
         (laghos_solver.cpp:1447-1487)."""
         v0 = S["v"]
@@ -639,9 +731,13 @@ class Hydro:
                 first[0] = None
             else:
                 sJit, dtm = self._qupdate(Scur)
-            dv, h1it = self._solve_velocity(sJit)
+            x0v = warm.get("dv") if warm is not None else None
+            x0e = warm.get("de") if warm is not None else None
+            dv, h1it = self._solve_velocity(sJit, x0=x0v)
             V = v0 + 0.5 * dt * dv
-            de, l2it = self._solve_energy(Scur, sJit, V)
+            de, l2it = self._solve_energy(Scur, sJit, V, x0=x0e)
+            if warm is not None:
+                warm["dv"], warm["de"] = dv, de
             return {"x": V, "v": dv, "e": de}, dtm, (h1it, l2it)
 
         def stage(Scur, counted):
@@ -706,7 +802,10 @@ class Hydro:
                     dt_est = self._guard_finite(
                         S_new, jnp.minimum(dtacc, dt_final))
                     return S_new, dt_est, stats, sj_new
-            self._advance_cache[key] = jax.jit(f)
+            # the caller (driver.run) never reuses the memoized stage-1
+            # qdata after the call — donate its HBM to the new qdata
+            self._advance_cache[key] = jax.jit(
+                f, donate_argnums=(2,) if key[1] else ())
         return self._advance_cache[key](S, dt, sJit1)
 
     def advance_timed(self, S, dt, tim, count_stage1=False, sJit1=None):

@@ -71,6 +71,46 @@ def _dense9(tables):
     return (Bd, Gd) if Bd is not None and Gd is not None else None
 
 
+def force_mult9_oz(e_b, sJit9, oz, *, ftz_eps2: float):
+    """3D F . e on the int8 MXU (f64-accurate, ops/omm.py).
+
+    oz = (l2_fwd (ld, NQ), gcat (3NQ, nd), ...): the three grad-transpose
+    directions run as ONE matmul against the row-concatenated static
+    [G_0; G_1; G_2], sharing a single dynamic split of the per-direction
+    stress-weighted field."""
+    from . import omm
+
+    d = 3
+    l2_fwd, gcat = oz
+    EQ = omm.matmul(e_b, l2_fwd)                   # (NE, NQ)
+    Y = jnp.stack([
+        jnp.concatenate([EQ * sJit9[gd * d + vd] for gd in range(d)],
+                        axis=-1)
+        for vd in range(d)], axis=1)               # (NE, d, 3NQ)
+    out = omm.matmul(Y, gcat)                      # (NE, d, nd)
+    return jnp.where(jnp.abs(out) < ftz_eps2, 0.0, out)
+
+
+def force_mult_transpose9_oz(v_e, sJit9, oz):
+    """3D F^T . v on the int8 MXU (see force_mult9_oz).
+
+    oz = (gcatT (nd, 3NQ), l2_bwd (NQ, ld)): one dynamic split of v_e
+    feeds all three gradient directions via the column-concatenated
+    static [G_0^T | G_1^T | G_2^T]."""
+    from . import omm
+
+    d = 3
+    gcatT, l2_bwd = oz
+    dv = omm.matmul(v_e, gcatT)                    # (NE, d, 3NQ)
+    NQ = dv.shape[-1] // d
+    eq = None
+    for gd in range(d):
+        for vd in range(d):
+            term = dv[:, vd, gd * NQ:(gd + 1) * NQ] * sJit9[gd * d + vd]
+            eq = term if eq is None else eq + term
+    return omm.matmul(eq, l2_bwd)                  # (NE, ld)
+
+
 def force_mult9(e_b, sJit9, tables, *, ftz_eps2: float):
     """3D F . e with sJit as a 9-tuple of (NE, NQ) component arrays.
 

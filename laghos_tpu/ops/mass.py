@@ -65,11 +65,21 @@ def e_to_l_gather(u_e, incidence, mask):
     return jnp.sum(vals * mask, axis=-1)
 
 
-def mass_apply_e(u_e, D, B, dim, Bd=None):
+def mass_apply_e(u_e, D, B, dim, Bd=None, oz=None):
     """Element-local mass apply: B^T (D * (B u)) on (..., NE, nd).
 
     With Bd (dense (NQ, nd) operator, tensor.dense_ops) the apply is two
-    MXU matmuls instead of 2*dim bandwidth-bound tiny-axis passes."""
+    MXU matmuls instead of 2*dim bandwidth-bound tiny-axis passes.
+    With oz = (fwd StaticSplit (nd, NQ), bwd StaticSplit (NQ, nd)) the two
+    matmuls run f64-accurately on the int8 MXU (ops/omm.py) — the TPU
+    production path for f64, where XLA would otherwise emulate the
+    contraction on the VPU at ~1/10 speed."""
+    if oz is not None:
+        from . import omm
+
+        fwd, bwd = oz
+        q = omm.matmul(u_e, fwd)
+        return omm.matmul(q * D, bwd)
     if Bd is not None:
         q = u_e @ Bd.T
         return (q * D) @ Bd
@@ -104,6 +114,25 @@ def h1_mass_diag(gather, ndof, D, B, dim):
     de = tensor.eval_transpose(Dq, B2t, dim)
     de = de.reshape(D.shape[0], -1)
     return e_to_l(de, gather, ndof)
+
+
+def h1_full_basis(B, dim):
+    """Dense (NQ, nd) basis-value matrix, x-fastest lex on both axes."""
+    import numpy as np
+
+    full = np.array(B)
+    for _ in range(dim - 1):
+        full = np.kron(np.array(B), full)
+    return full
+
+
+def element_mass_matrices(D, B, dim):
+    """Per-element dense mass matrices M_e[i,j] = sum_q phi_i phi_j D
+    for a tensor-product basis with 1D table B (host NumPy)."""
+    import numpy as np
+
+    full = h1_full_basis(B, dim)
+    return np.einsum("qi,qj,eq->eij", full, full, np.asarray(D))
 
 
 def l2_mass_matrices(D, B, dim):

@@ -77,21 +77,50 @@ class DynSplit:
 
 
 def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL) -> DynSplit:
-    """Per-row power-of-2 scaling + q-bit integer slices (on device)."""
+    """Per-row power-of-2 scaling + q-bit integer slices (on device).
+
+    The round/residual cascade must be EXACT: on TPU, f64 arithmetic is
+    emulated as double-float, whose round() is not exactly rounded —
+    residuals escape [-1/2, 1/2] and slices overflow int8 (observed as
+    ~1e-3 product errors).  So the scaled mantissa is first decomposed
+    into f32 components m = hi + lo + lo2 (each extraction exact: the
+    conversion rounds, the f64 subtraction of a representable nearby
+    value is exact), and each component is cascaded in NATIVE f32
+    arithmetic, where power-of-2 scaling, round(), and small-integer
+    subtraction are all exact.  A final carry pass re-normalizes the
+    combined per-level sums into int8 range (adjacent levels differ by
+    2^Q, so moving +-2^Q down a level to +-1 up a level is exact).
+    """
     mx = jnp.max(jnp.abs(A), axis=-1, keepdims=True)
     mx = jnp.where(mx == 0.0, 1.0, mx)
-    # frexp-free exponent: |A| * 2^-e <= 1/2 guarantees round-to-nearest
-    # keeps every slice magnitude <= 2^(Q-1) — no int8 clipping.  ceil,
-    # not floor: floor+1 leaves m in (1/2, 1] and slice 0 can hit 2^Q.
+    # |A| * 2^-e <= 1/2 (ceil, not floor+1: floor+1 leaves m in (1/2, 1]
+    # and slice 0 could hit 2^Q).  A log2 off-by-rounding only shifts m
+    # by 2x either way — the carry pass keeps slices in range regardless.
     e = jnp.ceil(jnp.log2(mx)) + 1.0
     m = A * jnp.exp2(-e)
-    slices = []
-    r = m
-    for _ in range(n_slices):
-        d = jnp.round(r * (2.0 ** Q))
-        r = r * (2.0 ** Q) - d
-        slices.append(d.astype(jnp.int8))
-    return DynSplit(tuple(slices), jnp.exp2(e), n_slices)
+    f64 = A.dtype
+    hi = m.astype(jnp.float32)
+    rem = m - hi.astype(f64)
+    lo = rem.astype(jnp.float32)
+    lo2 = (rem - lo.astype(f64)).astype(jnp.float32)
+    TQ = jnp.float32(2.0 ** Q)
+    lev = [jnp.zeros(A.shape, jnp.float32) for _ in range(n_slices)]
+    # component start levels: |lo| <= ulp32(hi)/2 <= 2^-26 sits at level
+    # 3 (weight 2^-28) with first round <= 4; |lo2| <= 2^-50 at level 6.
+    for v, start in ((hi, 0), (lo, 3), (lo2, 6)):
+        v = v * jnp.float32(2.0 ** (Q * (start + 1)))
+        for t in range(start, n_slices):
+            d = jnp.round(v)
+            lev[t] = lev[t] + d
+            v = (v - d) * TQ
+    # carry renormalization: per-level sums are <= 64 + 64 = 128; fold
+    # the overflow into the level above (exact, ratio 2^Q)
+    for t in range(n_slices - 1, 0, -1):
+        c = jnp.round(lev[t] * jnp.float32(2.0 ** (-Q)))
+        lev[t] = lev[t] - c * TQ
+        lev[t - 1] = lev[t - 1] + c
+    slices = tuple(d.astype(jnp.int8) for d in lev)
+    return DynSplit(slices, jnp.exp2(e), n_slices)
 
 
 def _dot_i8(a, b):
@@ -113,10 +142,46 @@ def mm(dyn: DynSplit, st: StaticSplit) -> jnp.ndarray:
             c = _dot_i8(dyn.slices[s], bs)
             L = s + t
             by_level[L] = c if L not in by_level else by_level[L] + c
+    # Reconstruction: emulated-f64 passes over (M, n) are the dominant
+    # cost.  Three cuts keep accuracy at the 2^-56 truncation / 2^-49
+    # double-float noise floor while minimizing them:
+    #   * levels >= 4 (weight <= 2^-42) accumulate in f32: the 2^-24
+    #     conversion error lands ~2^-50 relative to the result;
+    #   * levels (0,1) and (2,3) pair EXACTLY in int32 space
+    #     (S_lo + 2^Q S_hi) when the bound (L+1) k 2^(12+Q) < 2^31
+    #     guarantees no overflow — halving the f64 passes;
+    #   * the f32 tail folds in with a single f64 add.
+    k = dyn.slices[0].shape[-1]
     acc = None
+    acc32 = None
+    lows = {}
     for L in sorted(by_level, reverse=True):
-        term = by_level[L].astype(jnp.float64) * (2.0 ** (-Q * (L + 2)))
+        if L >= 4:
+            t32 = by_level[L].astype(jnp.float32) * np.float32(
+                2.0 ** (-Q * (L + 2)))
+            acc32 = t32 if acc32 is None else acc32 + t32
+        else:
+            lows[L] = by_level[L]
+    terms = []
+    for base in (2, 0):
+        hi_l, lo_l = lows.pop(base, None), lows.pop(base + 1, None)
+        if hi_l is None and lo_l is None:
+            continue
+        ok = (base + 2) * k * (2 ** (12 + Q)) < 2 ** 31
+        if ok and hi_l is not None and lo_l is not None:
+            pair = hi_l * (2 ** Q) + lo_l
+            terms.append((pair, 2.0 ** (-Q * (base + 3))))
+        else:
+            if hi_l is not None:
+                terms.append((hi_l, 2.0 ** (-Q * (base + 2))))
+            if lo_l is not None:
+                terms.append((lo_l, 2.0 ** (-Q * (base + 3))))
+    for S_int, w in terms:
+        term = S_int.astype(jnp.float64) * w
         acc = term if acc is None else acc + term
+    if acc32 is not None:
+        t = acc32.astype(jnp.float64)
+        acc = t if acc is None else acc + t
     return acc * dyn.scale * st.scale
 
 

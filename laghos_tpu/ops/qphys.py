@@ -18,7 +18,7 @@ from .smallmat import _jacobi_rotation
 
 def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
                use_viscosity=True, use_vorticity=False, hard_visc=False,
-               eig_sweeps=6):
+               eig_sweeps=4):
     """All inputs are tuples/arrays of flat per-point scalars.
 
     J, dV, J0i: tuples of 9 arrays (row-major [a][b]); e_q, rw (rho0DetJ0w),
@@ -88,9 +88,8 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
 
     def rot(app, aqq, apq, arp, arq):
-        c, s = _jacobi_rotation(app, aqq, apq)
-        return (c * c * app - 2.0 * s * c * apq + s * s * aqq,
-                s * s * app + 2.0 * s * c * apq + c * c * aqq,
+        c, s, t = _jacobi_rotation(app, aqq, apq)
+        return (app - t * apq, aqq + t * apq,
                 c * arp - s * arq, s * arp + c * arq, c, s)
 
     def vupd(c, s, p, q):
@@ -173,9 +172,8 @@ def _finish(J, st, visc, Jinv9, detJ, S, winv, *, h1order, cfl,
     t12 = j01 * j02 + j11 * j12 + j21 * j22
 
     def rot2(app, aqq, apq, arp, arq):
-        c, s = _jacobi_rotation(app, aqq, apq)
-        return (c * c * app - 2.0 * s * c * apq + s * s * aqq,
-                s * s * app + 2.0 * s * c * apq + c * c * aqq,
+        c, s, t = _jacobi_rotation(app, aqq, apq)
+        return (app - t * apq, aqq + t * apq,
                 c * arp - s * arq, s * arp + c * arq)
 
     z = jnp.zeros_like(t00)
@@ -196,7 +194,11 @@ def _finish(J, st, visc, Jinv9, detJ, S, winv, *, h1order, cfl,
     idt = S * ih + 2.5 * vR * ih * ih
     inf = jnp.full_like(sv, jnp.inf)
     dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, one), inf)
-    dtq = jnp.where(detJ < 0.0, jnp.zeros_like(sv), dtq)
+    # inverted elements reject the step (laghos_solver.cpp:1144-1148);
+    # non-finite qdata (NaN detJ/idt would slip through `<`/`>`
+    # comparisons) must reject it the same way, not read as dt = inf
+    good = jnp.isfinite(detJ) & (detJ >= 0.0) & ~jnp.isnan(idt)
+    dtq = jnp.where(good, dtq, jnp.zeros_like(sv))
 
     # sJit[gd][vd] = sum_k stress[vd,k] Jinv[gd,k] * w * detJ
     wd = detJ / winv

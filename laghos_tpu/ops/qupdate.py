@@ -111,7 +111,10 @@ def qupdate(
     idt = S * ih_min + 2.5 * visc_coeff * ih_min * ih_min / R
     inf = jnp.asarray(jnp.inf, dtype=x_e.dtype)
     dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, 1.0), inf)
-    dtq = jnp.where(detJ < 0.0, 0.0, dtq)
+    # reject inverted elements AND non-finite qdata (NaN would slip
+    # through the `<` comparison and read as dt = inf)
+    good = jnp.isfinite(detJ) & (detJ >= 0.0) & ~jnp.isnan(idt)
+    dtq = jnp.where(good, dtq, 0.0)
 
     # stressJinvT[gd, vd] = sum_k stress[vd,k] Jinv[gd,k] * w * detJ
     sJit = jnp.einsum("...vk,...gk->...gv", stress, Jinv)
@@ -136,7 +139,7 @@ def jacobians(x_e, H1B, H1G, dim):
 def qupdate3d(
     x_e, v_e, e_b, gamma, rho0DetJ0w, Jac0inv9, tables, h0,
     *, h1order, cfl, use_viscosity, use_vorticity,
-    elem_valid=None, pallas=False, interpret=False,
+    elem_valid=None, pallas=False, interpret=False, oz=None,
 ):
     """Scalarized 3D qupdate: returns (sJit 9-tuple of (NE, NQ), dt_est).
 
@@ -162,7 +165,21 @@ def qupdate3d(
 
     H1Gd = tables.get("H1Gd")
     L2Bd = tables.get("L2Bd")
-    if H1Gd is not None:
+    if oz is not None:
+        # int8-MXU f64 interpolation (ops/omm.py): ONE dynamic split of
+        # the stacked (x, v) E-vectors feeds all three gradient
+        # directions through the column-concatenated static operator
+        from . import omm
+
+        gcatT, l2_fwd = oz
+        xv = jnp.concatenate([x_e, v_e], axis=1)       # (NE, 2d, nd)
+        dxv = omm.matmul(xv, gcatT)                    # (NE, 2d, 3NQ)
+        J9 = tuple(dxv[:, a, b * NQ:(b + 1) * NQ]
+                   for a in range(d) for b in range(d))
+        dV9 = tuple(dxv[:, d + a, b * NQ:(b + 1) * NQ]
+                    for a in range(d) for b in range(d))
+        e_q = omm.matmul(e_b, l2_fwd)
+    elif H1Gd is not None:
         # dense (NQ, nd) operators: one MXU matmul per direction for all
         # d components at once
         dx = [x_e @ H1Gd[b].T for b in range(d)]   # (NE, d, NQ) each

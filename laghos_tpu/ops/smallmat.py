@@ -85,11 +85,18 @@ def _eig2_smallest(A: jnp.ndarray):
     return lam_min, jnp.stack([vx, vy], axis=-1)
 
 
-def _jacobi_rotation(app, aqq, apq):
-    """Stable (c, s) annihilating the (p,q) entry (Golub & Van Loan).
+def _jacobi_rotation(app, aqq, apq, inv=None):
+    """Stable (c, s, t) annihilating the (p,q) entry (Golub & Van Loan).
 
     All constants are built dtype-matched (Mosaic/Pallas rejects stray
-    64-bit scalars that python literals produce under x64 mode)."""
+    64-bit scalars that python literals produce under x64 mode).
+    Also returns t = tan(theta) so callers can use the cheap exact
+    diagonal update app' = app - t*apq, aqq' = aqq + t*apq (GvL 8.4).
+    `inv` is accepted for signature stability and ignored (an f32-angle
+    variant was measured slower on TPU: emulated f64 is op-count-bound,
+    and the extra conversions/residual updates outweigh the saved
+    div/sqrt).
+    """
     one = jnp.ones_like(apq)
     zero = jnp.zeros_like(apq)
     nonzero = apq != 0.0
@@ -101,10 +108,11 @@ def _jacobi_rotation(app, aqq, apq):
     s = t * c
     c = jnp.where(nonzero, c, one)
     s = jnp.where(nonzero, s, zero)
-    return c, s
+    t = jnp.where(nonzero, t, zero)
+    return c, s, t
 
 
-def _eig3_smallest(A: jnp.ndarray, sweeps: int = 6):
+def _eig3_smallest(A: jnp.ndarray, sweeps: int = 4):
     """Smallest eigenvalue + eigenvector of symmetric 3x3 batches.
 
     Fixed-count cyclic Jacobi iteration, fully scalarized (the 6 unique
@@ -127,9 +135,9 @@ def _eig3_smallest(A: jnp.ndarray, sweeps: int = 6):
     def rot(app, aqq, apq, arp, arq):
         """One Jacobi rotation in the (p,q) plane; r is the third index.
         Returns updated (app, aqq, arp, arq, c, s); apq' = 0."""
-        c, s = _jacobi_rotation(app, aqq, apq)
-        app_n = c * c * app - 2.0 * s * c * apq + s * s * aqq
-        aqq_n = s * s * app + 2.0 * s * c * apq + c * c * aqq
+        c, s, t = _jacobi_rotation(app, aqq, apq)
+        app_n = app - t * apq
+        aqq_n = aqq + t * apq
         arp_n = c * arp - s * arq
         arq_n = s * arp + c * arq
         return app_n, aqq_n, arp_n, arq_n, c, s
@@ -197,17 +205,16 @@ def min_singular_value(J: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(lam_min, 0.0))
 
 
-def _eig3_values_min(A: jnp.ndarray, sweeps: int = 6):
+def _eig3_values_min(A: jnp.ndarray, sweeps: int = 4):
     """Smallest eigenvalue only (no eigenvector accumulation)."""
     a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
     a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
     zero = jnp.zeros_like(a00)
 
     def rot(app, aqq, apq, arp, arq):
-        c, s = _jacobi_rotation(app, aqq, apq)
-        app_n = c * c * app - 2.0 * s * c * apq + s * s * aqq
-        aqq_n = s * s * app + 2.0 * s * c * apq + c * c * aqq
-        return app_n, aqq_n, c * arp - s * arq, s * arp + c * arq
+        c, s, t = _jacobi_rotation(app, aqq, apq)
+        return (app - t * apq, aqq + t * apq,
+                c * arp - s * arq, s * arp + c * arq)
 
     for _ in range(sweeps):
         a00, a11, a02, a12 = rot(a00, a11, a01, a02, a12)

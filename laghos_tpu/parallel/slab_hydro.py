@@ -1,0 +1,449 @@
+"""Production structured-slab domain decomposition (halo mode v2).
+
+The TPU-native image of the reference's MPI domain decomposition
+(laghos_solver.cpp:362-398, SURVEY §2.4.1/§2.5), built to inherit every
+single-chip fast path:
+
+  * the raster-ordered Cartesian mesh is partitioned into contiguous
+    element slabs along its LAST axis, so each device's dof set is a
+    contiguous range of lattice planes — the halo is ONE contiguous
+    (lat_x * lat_y) plane shared with each neighbor;
+  * per-device kernels are the SAME jitted pieces as the conforming
+    `Hydro` (scalarized 3D qupdate, structured E<->L transforms on the
+    local lattice, dense/Ozaki contractions, batched CG) — the stepper
+    tableaus are reused via Hydro._step's mult/stage overrides;
+  * communication is `lax.ppermute` of boundary-plane SLICES after each
+    H1 assembly (no index gathers), `psum` for CG dots/energies, and
+    `pmin` for the dt estimate — O(surface) bytes per operator apply
+    riding ICI, exactly the reference's halo structure;
+  * the driver-visible API (advance / dt_estimate_full / energies /
+    e_norm, with stage-1 qdata memoization and sJit donation) matches
+    `Hydro`, so laghos_tpu.driver.run works unchanged.
+
+L2 (energy) data is element-local and never communicated, mirroring
+laghos_solver.cpp:442-518 where the L2 mass needs no prolongation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import force as fop
+from ..ops import mass as mop
+from ..ops import qupdate as qop
+from ..ops import structured
+from ..solvers.cg import cg
+
+AXIS = "dd"
+
+
+def _identity_structmaps(dims_loc, p):
+    lat = [n * p + 1 for n in dims_loc]
+    ndof = int(np.prod(lat))
+    ne = int(np.prod(dims_loc))
+    ident = np.arange(ndof, dtype=np.int32)
+    e_id = np.arange(ne, dtype=np.int32)
+    return structured.StructMaps(dims=tuple(dims_loc), p=p, perm=ident,
+                                 inv=ident, e_mesh_at_raster=e_id,
+                                 e_raster_at_mesh=e_id)
+
+
+class SlabHydro:
+    """Distributed view of a conforming `Hydro` over a 1D device mesh."""
+
+    def __init__(self, hydro, n_devices=None, devices=None):
+        h = self.h = hydro
+        if h._sm is None:
+            raise ValueError("slab mode needs a raster-ordered Cartesian "
+                             "mesh (structured transforms active)")
+        if not h.p_assembly:
+            raise ValueError("slab mode covers the partial-assembly path")
+        devs = devices if devices is not None else jax.devices()
+        if n_devices is not None:
+            devs = devs[:n_devices]
+        D = self.D = len(devs)
+        self.mesh = Mesh(np.array(devs), (AXIS,))
+        d = h.dim
+        p = h.opt.order_v
+        dims = h._sm.dims
+        if dims[-1] % D != 0:
+            raise ValueError(
+                f"slab mode: last element-grid axis {dims[-1]} must be "
+                f"divisible by the device count {D}")
+        nslab = dims[-1] // D
+        if nslab < 1:
+            raise ValueError("slab thinner than one element layer")
+        self.dims_loc = dims[:-1] + (nslab,)
+        self.sm_loc = _identity_structmaps(self.dims_loc, p)
+        lat = [n * p + 1 for n in dims]
+        self.plane = int(np.prod(lat[:-1]))          # dofs per z-plane
+        self.nzl = nslab * p + 1                     # local lattice planes
+        self.nloc = self.plane * self.nzl
+        self.nel_loc = h.NE // D
+        self.dtype = h.dtype
+        self.NE = h.NE
+        self.ndof = h.ndof
+
+        dt = h.dtype
+
+        def slice_dofs(u):
+            """(C, ndof) -> (D, C, nloc) overlapping plane slices."""
+            u = np.asarray(u)
+            out = np.stack([
+                u[:, k * nslab * p * self.plane:
+                  k * nslab * p * self.plane + self.nloc]
+                for k in range(D)])
+            return out
+
+        def split_elems(A):
+            A = np.asarray(A)
+            return A.reshape((D, self.nel_loc) + A.shape[1:])
+
+        self.massD_l = jnp.asarray(split_elems(h.massD), dt)
+        self.rw_l = jnp.asarray(split_elems(h.rho0DetJ0w_j), dt)
+        self.gamma_l = jnp.asarray(split_elems(h.gamma_j), dt)
+        self.one_l = jnp.asarray(split_elems(h.one_l2), dt)
+        if h._sJ9:
+            self.J0i_l = jnp.asarray(np.stack(
+                [split_elems(a) for a in h.Jac0inv9_j], axis=1), dt)
+        else:
+            self.J0i_l = jnp.asarray(split_elems(h.Jac0inv_j), dt)
+        self.ess_l = jnp.asarray(slice_dofs(h.ess_mask_j))
+        self.dinv_l = jnp.asarray(slice_dofs(h.h1_dinv[None, :])[:, 0], dt)
+        self.rt_l = (jnp.asarray(slice_dofs(h.rt_rhs), dt)
+                     if h.rt_rhs is not None else None)
+        self.S0 = {
+            "x": jnp.asarray(slice_dofs(h.S0["x"]), dt),
+            "v": jnp.asarray(slice_dofs(h.S0["v"]), dt),
+            "e": jnp.asarray(split_elems(h.S0["e"]), dt),
+        }
+        self._place()
+        self._advance_cache = {}
+        self._estimate = None
+        self._energies = None
+
+    # ------------------------------------------------------------------
+    def _place(self):
+        sh = NamedSharding(self.mesh, P(AXIS))
+        put = partial(jax.device_put, device=sh)
+        for name in ("massD_l", "rw_l", "gamma_l", "one_l", "J0i_l",
+                     "ess_l", "dinv_l"):
+            setattr(self, name, put(getattr(self, name)))
+        if self.rt_l is not None:
+            self.rt_l = put(self.rt_l)
+        self.S0 = {k: put(v) for k, v in self.S0.items()}
+
+    def _consts(self):
+        c = [self.massD_l, self.rw_l, self.gamma_l, self.one_l,
+             self.J0i_l, self.ess_l, self.dinv_l]
+        if self.rt_l is not None:
+            c.append(self.rt_l)
+        return tuple(c)
+
+    # ---------------- per-device operator set (runs under shard_map) ---
+    def _local_ops(self, consts):
+        """Build the local operator closures from per-device constants
+        (leading device axis of size 1 already stripped)."""
+        h = self.h
+        d = h.dim
+        opt = h.opt
+        plane = self.plane
+        if self.rt_l is not None:
+            (massD, rw, gamma, one_l2, J0i, ess, dinv, rt) = consts
+        else:
+            (massD, rw, gamma, one_l2, J0i, ess, dinv) = consts
+            rt = None
+        sm = self.sm_loc
+        nloc = self.nloc
+
+        idx = jax.lax.axis_index(AXIS)
+        interior = jnp.concatenate([
+            jnp.zeros((plane,), self.dtype),
+            jnp.ones((nloc - plane,), self.dtype)])
+        owned = jnp.where(idx > 0, interior, jnp.ones((nloc,), self.dtype))
+
+        def gather_e(u):
+            return jnp.swapaxes(structured.l_to_e_struct(u, sm), 0, 1)
+
+        def halo_add(y):
+            D = jax.lax.axis_size(AXIS)
+            if D == 1:
+                return y
+            up = [(i, i + 1) for i in range(D - 1)]
+            down = [(i + 1, i) for i in range(D - 1)]
+            from_prev = jax.lax.ppermute(y[..., -plane:], AXIS, up)
+            from_next = jax.lax.ppermute(y[..., :plane], AXIS, down)
+            y = y.at[..., :plane].add(from_prev)
+            y = y.at[..., -plane:].add(from_next)
+            return y
+
+        def assemble(u_e):
+            return halo_add(structured.e_to_l_struct(u_e, sm))
+
+        def pdot(u, v):
+            return jax.lax.psum(
+                jnp.sum(u * v * owned[None, :], axis=-1), AXIS)
+
+        def edot(u, v):
+            return jax.lax.psum(jnp.sum(u * v, axis=-1), AXIS)
+
+        def qupd(Sc):
+            x_e = gather_e(Sc["x"])
+            v_e = gather_e(Sc["v"])
+            if h._sJ9:
+                J0i9 = tuple(J0i[a] for a in range(9))
+                sJit, dtm = qop.qupdate3d(
+                    x_e, v_e, Sc["e"], gamma, rw, J0i9, h.tables, h.h0,
+                    h1order=float(opt.order_v), cfl=opt.cfl,
+                    use_viscosity=h.use_visc, use_vorticity=h.use_vort,
+                    oz=None if h.oz is None else h.oz["qup"])
+            else:
+                sJit, dtm = qop.qupdate(
+                    x_e, v_e, Sc["e"], gamma, rw, J0i, h.tables, h.h0,
+                    dim=d, h1order=float(opt.order_v), cfl=opt.cfl,
+                    use_viscosity=h.use_visc, use_vorticity=h.use_vort)
+            return sJit, jax.lax.pmin(dtm, AXIS)
+
+        def mass_apply(u):
+            ue = jnp.swapaxes(gather_e(u), 0, 1)
+            ue = mop.mass_apply_e(ue, massD, h.tables["H1B"], d,
+                                  Bd=h.tables.get("H1Bd"),
+                                  oz=None if h.oz is None else h.oz["h1"])
+            y = assemble(ue)
+            return jnp.where(ess, 0.0, y)
+
+        def force_rhs(sJit):
+            if isinstance(sJit, tuple):
+                if h.oz is not None:
+                    Fone = fop.force_mult9_oz(one_l2, sJit, h.oz["force"],
+                                              ftz_eps2=h.ftz_eps2)
+                else:
+                    Fone = fop.force_mult9(one_l2, sJit, h.tables,
+                                           ftz_eps2=h.ftz_eps2)
+            else:
+                Fone = fop.force_mult(one_l2, sJit, h.tables, dim=d,
+                                      ftz_eps2=h.ftz_eps2)
+            return assemble(jnp.swapaxes(Fone, 0, 1))
+
+        def solve_velocity(sJit, x0=None):
+            rhs = -force_rhs(sJit)
+            if rt is not None:
+                rhs = rhs + rt
+            rhs = jnp.where(ess, 0.0, rhs)
+            res = cg(mass_apply, rhs, opt.cg_tol, opt.cg_max_iter,
+                     precond=lambda r: r * dinv, dot=pdot, x0=x0)
+            return res.x, jnp.sum(res.iters)
+
+        def force_T(sJit, v):
+            v_e = gather_e(v)
+            if isinstance(sJit, tuple):
+                if h.oz is not None:
+                    return fop.force_mult_transpose9_oz(v_e, sJit,
+                                                        h.oz["forceT"])
+                return fop.force_mult_transpose9(v_e, sJit, h.tables)
+            return fop.force_mult_transpose(v_e, sJit, h.tables, dim=d)
+
+        def taylor_source(Sc):
+            # local form of Hydro._taylor_source (laghos_solver.cpp:455-465)
+            from ..ops import smallmat, tensor as top
+
+            x_e = gather_e(Sc["x"])
+            J = qop.jacobians(x_e, h.tables["H1B"], h.tables["H1G"], d)
+            detJ = smallmat.det(J, d)
+            ne_loc = x_e.shape[0]
+            xt = x_e.reshape((ne_loc, d) + (h.nd1,) * d)
+            xq = top.eval_values(xt, h.tables["H1B"], d).reshape(
+                ne_loc, d, h.NQ)
+            X, Y = xq[:, 0], xq[:, 1]
+            pi = jnp.pi
+            fq_ = (3.0 / 8.0) * pi * (
+                jnp.cos(3 * pi * X) * jnp.cos(pi * Y)
+                - jnp.cos(pi * X) * jnp.cos(3 * pi * Y))
+            integrand = h.tables["W"][None, :] * detJ * fq_
+            it = integrand.reshape((ne_loc,) + (h.nq1,) * d)
+            out = top.eval_transpose(it, h.tables["L2B"].T, d)
+            return out.reshape(ne_loc, h.ld)
+
+        def solve_energy(Sc, sJit, v, x0=None):
+            e_rhs = force_T(sJit, v)
+            if h.source == 1:
+                e_rhs = e_rhs + taylor_source(Sc)
+
+            def apply_A(u):
+                ue = u.reshape(e_rhs.shape)
+                ue = mop.mass_apply_e(
+                    ue, massD, h.tables["L2B"], d,
+                    Bd=h.tables.get("L2Bd"),
+                    oz=None if h.oz is None else h.oz["l2"])
+                return ue.reshape(1, -1)
+
+            res = cg(apply_A, e_rhs.reshape(1, -1), opt.cg_tol,
+                     opt.cg_max_iter, dot=edot,
+                     x0=None if x0 is None else x0.reshape(1, -1))
+            iters = jnp.maximum(res.iters[0], 1)
+            return res.x.reshape(e_rhs.shape), iters
+
+        return dict(qupd=qupd, solve_velocity=solve_velocity,
+                    solve_energy=solve_energy, owned=owned, edot=edot)
+
+    # ------------------------------------------------------------------
+    def _make_advance(self, count_stage1: bool, with_sj: bool):
+        h = self.h
+        consts = self._consts()
+
+        def prog(S, dtv, sj, *consts_in):
+            cl = [c[0] for c in consts_in]
+            ops = self._local_ops(cl)
+            Sl = {k: v[0] for k, v in S.items()}
+            sjl = (None if sj is None else
+                   tuple(a[0] for a in sj) if isinstance(sj, tuple)
+                   else sj[0])
+            warm = {} if h.opt.cg_warm_start else None
+
+            def mult(Sc, sJit=None):
+                if sJit is None:
+                    sJit, dtm = ops["qupd"](Sc)
+                else:
+                    dtm = jnp.asarray(jnp.inf, self.dtype)
+                x0v = warm.get("dv") if warm is not None else None
+                x0e = warm.get("de") if warm is not None else None
+                dv, h1it = ops["solve_velocity"](sJit, x0=x0v)
+                de, l2it = ops["solve_energy"](Sc, sJit, Sc["v"], x0=x0e)
+                if warm is not None:
+                    warm["dv"], warm["de"] = dv, de
+                return {"x": Sc["v"], "v": dv, "e": de}, dtm, (h1it, l2it)
+
+            first = [sjl]
+
+            def rk2avg_stage(Scur, v0, dtt):
+                if first[0] is not None:
+                    sJit, dtm = first[0], jnp.asarray(jnp.inf, self.dtype)
+                    first[0] = None
+                else:
+                    sJit, dtm = ops["qupd"](Scur)
+                x0v = warm.get("dv") if warm is not None else None
+                x0e = warm.get("de") if warm is not None else None
+                dv, h1it = ops["solve_velocity"](sJit, x0=x0v)
+                V = v0 + 0.5 * dtt * dv
+                de, l2it = ops["solve_energy"](Scur, sJit, V, x0=x0e)
+                if warm is not None:
+                    warm["dv"], warm["de"] = dv, de
+                return {"x": V, "v": dv, "e": de}, dtm, (h1it, l2it)
+
+            S_new, dtacc, stats = h._step(
+                Sl, dtv, count_stage1, mult=mult,
+                rk2avg_stage=rk2avg_stage,
+                mult1=(lambda Sc: mult(Sc, sjl))
+                if (sjl is not None and not count_stage1) else None)
+            sj_new, dt_final = ops["qupd"](S_new)
+            dt_est = jnp.minimum(dtacc, dt_final)
+            # global finite guard (Hydro._guard_finite, psum-reduced)
+            loc = (jnp.sum(S_new["v"]) + jnp.sum(S_new["e"])
+                   + jnp.sum(S_new["x"]))
+            ok = jnp.isfinite(jax.lax.psum(loc, AXIS))
+            dt_est = jnp.where(ok, dt_est, 0.0)
+            S_out = {k: v[None] for k, v in S_new.items()}
+            sj_out = (tuple(a[None] for a in sj_new)
+                      if isinstance(sj_new, tuple) else sj_new[None])
+            return S_out, dt_est, stats, sj_out
+
+        n_c = len(consts)
+        if with_sj:
+            entry = prog
+            in_specs = (P(AXIS), P(), P(AXIS)) + (P(AXIS),) * n_c
+        else:
+            def entry(S, dtv, *cc):
+                return prog(S, dtv, None, *cc)
+            in_specs = (P(AXIS), P()) + (P(AXIS),) * n_c
+        smapped = shard_map(entry, mesh=self.mesh, in_specs=in_specs,
+                            out_specs=(P(AXIS), P(), P(), P(AXIS)),
+                            check_vma=False)
+        if with_sj:
+            return jax.jit(smapped, donate_argnums=(2,))
+        return jax.jit(smapped)
+
+    # ---------------------------- driver API ---------------------------
+    def advance(self, S, dt, count_stage1=False, sJit1=None):
+        key = (bool(count_stage1), sJit1 is not None)
+        if key not in self._advance_cache:
+            self._advance_cache[key] = self._make_advance(*key)
+        fn = self._advance_cache[key]
+        dtv = jnp.asarray(dt, self.dtype)
+        if key[1]:
+            return fn(S, dtv, sJit1, *self._consts())
+        return fn(S, dtv, *self._consts())
+
+    def dt_estimate_full(self, S):
+        if self._estimate is None:
+            consts = self._consts()
+            n_c = len(consts)
+
+            def prog(S, *cc):
+                cl = [c[0] for c in cc]
+                ops = self._local_ops(cl)
+                Sl = {k: v[0] for k, v in S.items()}
+                sj, dtm = ops["qupd"](Sl)
+                sj_out = (tuple(a[None] for a in sj)
+                          if isinstance(sj, tuple) else sj[None])
+                return dtm, sj_out
+
+            self._estimate = jax.jit(shard_map(
+                prog, mesh=self.mesh,
+                in_specs=(P(AXIS),) + (P(AXIS),) * n_c,
+                out_specs=(P(), P(AXIS)), check_vma=False))
+        return self._estimate(S, *self._consts())
+
+    def dt_estimate(self, S):
+        return self.dt_estimate_full(S)[0]
+
+    def energies(self, S):
+        if self._energies is None:
+            h = self.h
+            d = h.dim
+
+            def prog(S, rw):
+                from ..ops import tensor as top
+
+                Sl = {k: v[0] for k, v in S.items()}
+                rwl = rw[0]
+                ne_loc = Sl["e"].shape[0]
+                et = Sl["e"].reshape((ne_loc,) + (h.l1d,) * d)
+                e_q = top.eval_values(et, h.tables["L2B"], d).reshape(
+                    ne_loc, h.NQ)
+                ie = jax.lax.psum(jnp.sum(rwl * e_q), AXIS)
+                v_e = jnp.swapaxes(
+                    structured.l_to_e_struct(Sl["v"], self.sm_loc), 0, 1)
+                vt = v_e.reshape((ne_loc, d) + (h.nd1,) * d)
+                v_q = top.eval_values(vt, h.tables["H1B"], d).reshape(
+                    ne_loc, d, h.NQ)
+                ke = jax.lax.psum(
+                    0.5 * jnp.sum(rwl * jnp.sum(v_q**2, axis=1)), AXIS)
+                return ie, ke
+
+            self._energies = jax.jit(shard_map(
+                prog, mesh=self.mesh, in_specs=(P(AXIS), P(AXIS)),
+                out_specs=(P(), P()), check_vma=False))
+        return self._energies(S, self.rw_l)
+
+    def e_norm(self, S):
+        e = np.asarray(S["e"])
+        return float(np.sqrt((e ** 2).sum()))
+
+    def to_global(self, S):
+        """Local (D, ...) state -> global (conforming Hydro layout)."""
+        p = self.h.opt.order_v
+        nslab = self.dims_loc[-1]
+        x = np.zeros((self.h.dim, self.ndof))
+        v = np.zeros_like(x)
+        for k in range(self.D):
+            lo = k * nslab * p * self.plane
+            x[:, lo:lo + self.nloc] = np.asarray(S["x"][k])
+            v[:, lo:lo + self.nloc] = np.asarray(S["v"][k])
+        e = np.asarray(S["e"]).reshape(self.NE, self.h.ld)
+        return {"x": x, "v": v, "e": e}

@@ -35,6 +35,9 @@ def cg(
     max_iter: int,
     precond: Optional[Callable] = None,   # (C, n) -> (C, n)
     dot: Optional[Callable] = None,       # (C,n),(C,n) -> (C,)
+    x0: Optional[jnp.ndarray] = None,     # warm start (mfem
+                                          # iterative_mode=true semantics;
+                                          # the reference uses x0 = 0)
 ) -> CGResult:
     if dot is None:
         def dot(u, v):
@@ -42,12 +45,24 @@ def cg(
 
     M = precond if precond is not None else (lambda r: r)
 
-    r = b
-    x = jnp.zeros_like(b)
-    z = M(r)
-    d = z
-    nom0 = dot(d, r)
-    r0 = nom0 * (rel_tol * rel_tol)
+    if x0 is None:
+        r = b
+        x = jnp.zeros_like(b)
+        z = M(r)
+        d = z
+        nom0 = dot(d, r)
+        r0 = nom0 * (rel_tol * rel_tol)
+    else:
+        x = x0
+        r = b - apply_A(x0)
+        z = M(r)
+        d = z
+        nom0 = dot(d, r)
+        # the convergence target stays referenced to b (what a cold-start
+        # solve would use), so a warm start saves iterations instead of
+        # silently solving to a tighter absolute tolerance
+        zb = M(b)
+        r0 = dot(zb, b) * (rel_tol * rel_tol)
     active0 = nom0 > r0
     Ad = apply_A(d)
     den = dot(d, Ad)
