@@ -24,7 +24,14 @@ def run_amr(
     max_steps: int = -1,
     vis_steps: int = 5,
     verbose: bool = False,
+    blast_position=(0.0, 0.0, 0.0),
+    blast_amr_size: float = 1e-10,
+    trace: list | None = None,
 ):
+    """Returns the run summary; with `trace` a list, appends one record
+    per step ({ti, t, dt, NE, and refine/deref/reject events}) — the
+    step-indexed trajectory used to localize divergence against
+    reference runs (amr/README.md validation)."""
     t = 0.0
     S = hydro.state
     _, dt0, _ = hydro._qupdate(hydro.ctx, S)
@@ -53,6 +60,9 @@ def run_amr(
             count_stage1 = True     # ResetQuadratureData: stage 1 will
             if steps < max_steps:   # recompute and count in dt_est
                 last_step = False
+            if trace is not None:
+                trace.append({"ti": ti, "event": "reject", "dt": dt,
+                              "NE": hydro.NE})
             continue
         S = S_new
         t += dt
@@ -69,10 +79,9 @@ def run_amr(
 
         # ---- AMR block (amr/laghos.cpp:628-719) -------------------------
         est = np.asarray(visc_max)[:hydro.NE]
-        # per-element min velocity component value
-        vL = hydro._p_apply_np(np.asarray(S["v"])[:, :hydro.nt])
-        v_elem = vL[:, np.asarray(hydro.space["gather"])]   # (d, NE, nd)
-        v_min = v_elem.min(axis=(0, 2))
+        # GetPerElementMinMax(v_gf): min/max of |v| at Gauss points of
+        # order order_v + 1 (amr/laghos.cpp:631-633, 846-857)
+        v_min, _ = hydro.v_min_max(S)
         order = hydro.forest.leaf_list()
         depths = hydro.forest.depths()
         refs = [order[i] for i in range(hydro.NE)
@@ -80,6 +89,7 @@ def run_amr(
                 and depths[i] < hydro.forest.max_depth
                 and (v_min[i] < 1e-3 or ti < 50)]
         changed = False
+        derefs = []
         if refs:
             changed = hydro.apply_amr(refine_keys=refs)
             # nc_limit=1 is enforced globally on every refinement call
@@ -90,16 +100,20 @@ def run_amr(
                     break
                 hydro.apply_amr(refine_keys=viol)
             if changed and verbose:
-                print(f"Refined -> {hydro.NE} elements.")
+                print(f"Refined {len(refs)} -> {hydro.NE} elements.")
         elif deref_threshold:
-            rho = hydro.compute_density(S)
-            rho_max = np.abs(rho).max(axis=1)
+            # DerefineByError(rho_max, threshold, nc_limit, op=max) with
+            # rho_max = per-zone max of the projected density at Gauss
+            # points (amr/laghos.cpp:663-698)
+            rho_max = hydro.rho_max(S)
             threshold = deref_threshold * rho_max.max()
             protect = rho_max.copy()
-            # protect the blast-origin zones and still zones
-            for i, (k, idx) in enumerate(order):
-                if all(v == 0 for v in idx):
-                    protect[i] = 1e10
+            # blast protection: elements with a (deformed) corner vertex
+            # within blast_amr_size of the blast position
+            # (FindElementsWithVertex, amr/laghos.cpp:674-683)
+            protect[hydro.elements_with_vertex(
+                S, blast_position, blast_amr_size)] = 1e10
+            # only derefine where the mesh is in motion (post-shock)
             protect[v_min < 0.1] = 1e10
             derefs = [order[i] for i in range(hydro.NE)
                       if protect[i] < threshold]
@@ -110,6 +124,11 @@ def run_amr(
         if changed:
             S = hydro.state
             count_stage1 = True     # AMRUpdate invalidates quad data
+        if trace is not None:
+            trace.append({
+                "ti": ti, "t": t, "dt": dt, "NE": hydro.NE,
+                "e_norm": hydro.e_norm(), "n_ref": len(refs),
+                "n_deref": len(derefs), "changed": bool(changed)})
         ti += 1
 
     return {"steps": ti - 1, "t": t, "dt": dt, "e_norm": hydro.e_norm(),

@@ -172,19 +172,61 @@ class Forest:
         return done
 
     # -- discretization structures -----------------------------------------
-    def node_coords_int(self, p):
-        """Integer lattice coordinates of every leaf node: (NL, nd, dim)."""
+    def node_ids_int(self, p):
+        """Exact integer identification of every leaf node: (NL, nd, 2*dim).
+
+        Per axis a node is encoded as (pos, tag).  Nodes at GLL parameter
+        0, 1, or exactly 1/2 (even p) are "corner class": their position
+        n/2^e (base-cell units) is dyadic-exact, encoded as
+        pos = n * 2^(D+1-e), tag = 0 — so coincident dyadic nodes from
+        ANY depths unify.  Interior GLL nodes (irrational parameters) can
+        never coincide across different depths or cells (2^δ·g - g' is
+        never an integer for GLL parameters g, g' ∈ (0,1) \\ {1/2}), so
+        they are encoded by identity: pos = cell origin, tag = depth and
+        node index.  A uniform lattice (the previous scheme) is exact
+        only for p <= 2 — for p >= 3 it aliases non-coincident GLL nodes
+        across depth jumps.
+        """
         D = self.max_depth
         d = self.dim
         nd = (p + 1) ** d
         rng = np.arange(p + 1)
         grids = np.meshgrid(*([rng] * d), indexing="ij")
         lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
-        out = np.empty((self.num_leaves, nd, d), dtype=np.int64)
+        out = np.empty((self.num_leaves, nd, 2 * d), dtype=np.int64)
+        half = p // 2 if p % 2 == 0 else -1
         for li, (k, idx) in enumerate(self._order):
-            scale = 1 << (D - k)
             for dd in range(d):
-                out[li, :, dd] = (idx[dd] * p + lat[:, dd]) * scale
+                a = lat[:, dd]
+                pos = np.empty(nd, dtype=np.int64)
+                tag = np.empty(nd, dtype=np.int64)
+                corner0 = a == 0
+                corner1 = a == p
+                mid = a == half
+                interior = ~(corner0 | corner1 | mid)
+                pos[corner0] = idx[dd] << (D + 1 - k)
+                pos[corner1] = (idx[dd] + 1) << (D + 1 - k)
+                pos[mid] = (2 * idx[dd] + 1) << (D - k)
+                tag[corner0 | corner1 | mid] = 0
+                pos[interior] = idx[dd] << (D + 1 - k)
+                tag[interior] = k * (p + 1) + a[interior] + 1
+                out[li, :, 2 * dd] = pos
+                out[li, :, 2 * dd + 1] = tag
+        return out
+
+    def node_phys_coords(self, p):
+        """Physical (GLL) coordinates of every leaf node: (NL, nd, dim)."""
+        gl = gauss_lobatto(p + 1)
+        d = self.dim
+        nd = (p + 1) ** d
+        rng = np.arange(p + 1)
+        grids = np.meshgrid(*([rng] * d), indexing="ij")
+        lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+        out = np.empty((self.num_leaves, nd, d))
+        for li, (k, idx) in enumerate(self._order):
+            for dd in range(d):
+                cell = self.sizes[dd] / (self.base_n[dd] << k)
+                out[li, :, dd] = (idx[dd] + gl[lat[:, dd]]) * cell
         return out
 
     def build_space(self, p):
@@ -201,15 +243,12 @@ class Forest:
         """
         d = self.dim
         D = self.max_depth
-        coords_int = self.node_coords_int(p)
-        NE, nd, _ = coords_int.shape
-        nn, inverse, first = unify_rows(coords_int.reshape(-1, d))
+        ids_int = self.node_ids_int(p)
+        NE, nd, _ = ids_int.shape
+        nn, inverse, first = unify_rows(ids_int.reshape(-1, 2 * d))
         gather = inverse.reshape(NE, nd).astype(np.int32)
-        uniq = coords_int.reshape(-1, d)[first]          # (Nn, d) int
-        # physical coords
-        h = [self.sizes[k] / (self.base_n[k] * (1 << D) * p)
-             for k in range(d)]
-        coords = uniq.astype(np.float64) * np.array(h)[None, :]
+        uniq = ids_int.reshape(-1, 2 * d)[first]         # (Nn, 2d) int
+        coords = self.node_phys_coords(p).reshape(-1, d)[first]
 
         # --- hanging constraints ------------------------------------------
         # For every leaf face that borders a coarser neighbor, constrain
@@ -221,6 +260,16 @@ class Forest:
         grids = np.meshgrid(*([rng] * d), indexing="ij")
         lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
 
+        def find_coarser(k, nidx):
+            """Walk up ancestors: the neighbour leaf may be any number
+            of levels coarser (non-2:1 meshes).  Returns (leaf, delta)
+            or (None, None)."""
+            for dl in range(1, k + 1):
+                cand = (k - dl, tuple(v >> dl for v in nidx))
+                if cand in self.leaves:
+                    return cand, dl
+            return None, None
+
         for li, (k, idx) in enumerate(self._order):
             for dd in range(d):
                 for side in (0, 1):
@@ -229,14 +278,7 @@ class Forest:
                     n_at = self.base_n[dd] << k
                     if nidx[dd] < 0 or nidx[dd] >= n_at:
                         continue
-                    # walk up ancestors: the neighbour leaf may be any
-                    # number of levels coarser (non-2:1 meshes)
-                    delta = None
-                    for dl in range(1, k + 1):
-                        cand = (k - dl, tuple(v >> dl for v in nidx))
-                        if cand in self.leaves:
-                            coarse, delta = cand, dl
-                            break
+                    coarse, delta = find_coarser(k, nidx)
                     if delta is None:
                         continue
                     # neighbor is coarser: face nodes of THIS leaf on that
@@ -288,6 +330,77 @@ class Forest:
                             continue
                         slave_of[gid] = (masters, weights)
 
+            if d != 3:
+                continue
+            # --- 3D edge-diagonal constraints ----------------------------
+            # A leaf edge can hang on a coarser element that touches it
+            # only along that edge (the edge-diagonal neighbor), with no
+            # coarser FACE neighbor involved.  Its edge nodes then
+            # interpolate the coarse leaf's edge trace (MFEM master/slave
+            # edges; the reference relies on this for 3D AMR meshes,
+            # amr/README.md rows 3-4).  Edges hanging on a coarser FACE
+            # were already slaved by the face scan above (first
+            # constraint wins; both are consistent traces).
+            for d1 in range(d):
+                for d2 in range(d1 + 1, d):
+                    t = 3 - d1 - d2           # tangential (edge) dim
+                    for s1 in (0, 1):
+                        for s2 in (0, 1):
+                            nidx = list(idx)
+                            nidx[d1] += 1 if s1 else -1
+                            nidx[d2] += 1 if s2 else -1
+                            if not (0 <= nidx[d1] < self.base_n[d1] << k):
+                                continue
+                            if not (0 <= nidx[d2] < self.base_n[d2] << k):
+                                continue
+                            coarse, delta = find_coarser(k, nidx)
+                            if delta is None:
+                                continue
+                            scale = 1 << delta
+                            # only a true edge adjacency: our edge must
+                            # lie on the coarse leaf's BOUNDARY in both
+                            # d1 and d2.  If it is interior in one dim,
+                            # the coarse leaf is a face neighbor and the
+                            # face scan already constrained these nodes
+                            # (against the right trace).
+                            on_bdr = True
+                            for dd_, ss_ in ((d1, s1), (d2, s2)):
+                                plane = idx[dd_] + ss_
+                                lo = (nidx[dd_] >> delta) << delta
+                                want = lo if ss_ else lo + scale
+                                if plane != want:
+                                    on_bdr = False
+                            if not on_bdr:
+                                continue
+                            cli = leaf_index[coarse]
+                            off = idx[t] & (scale - 1)
+                            pts = (off + gl) / scale
+                            B, _ = lagrange_tables(gl, pts)
+                            c1 = 0 if s1 else p
+                            c2 = 0 if s2 else p
+                            edge_mask = ((lat[:, d1] == (p if s1 else 0))
+                                         & (lat[:, d2] == (p if s2 else 0)))
+                            for a in np.where(edge_mask)[0]:
+                                gid = gather[li, a]
+                                if gid in slave_of:
+                                    continue
+                                wrow = B[lat[a, t]]
+                                masters = []
+                                weights = []
+                                for cn in range(nd):
+                                    if (lat[cn, d1] != c1
+                                            or lat[cn, d2] != c2):
+                                        continue
+                                    w = wrow[lat[cn, t]]
+                                    if abs(w) > 1e-14:
+                                        masters.append(int(gather[cli, cn]))
+                                        weights.append(float(w))
+                                if (len(masters) == 1 and
+                                        abs(weights[0] - 1.0) < 1e-12 and
+                                        masters[0] == gid):
+                                    continue
+                                slave_of[gid] = (masters, weights)
+
         slave_ids = np.array(sorted(slave_of), dtype=np.int64)
         is_slave = np.zeros(nn, dtype=bool)
         is_slave[slave_ids] = True
@@ -328,12 +441,16 @@ class Forest:
             masters[si, :len(ms)] = [t_of_n[m] for m in ms]
             weights[si, :len(ws)] = ws
 
-        # essential masks on the box boundary (attrs: fixed-x/y/z)
-        maxc = np.array([self.base_n[kk] * (1 << D) * p
+        # essential masks on the box boundary (attrs: fixed-x/y/z).
+        # Only corner-class axis codes (tag 0) can sit on the boundary
+        # planes; interior GLL parameters are strictly inside the cell.
+        maxc = np.array([self.base_n[kk] << (D + 1)
                          for kk in range(d)], dtype=np.int64)
         ess = np.zeros((d, nn), dtype=bool)
         for dd in range(d):
-            ess[dd] = (uniq[:, dd] == 0) | (uniq[:, dd] == maxc[dd])
+            corner = uniq[:, 2 * dd + 1] == 0
+            ess[dd] = corner & ((uniq[:, 2 * dd] == 0)
+                                | (uniq[:, 2 * dd] == maxc[dd]))
 
         return {
             "gather": gather,

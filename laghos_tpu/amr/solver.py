@@ -34,17 +34,19 @@ class AMRHydro:
     """Sedov-blast hydrodynamics on an adaptive forest (problem 1)."""
 
     def __init__(self, forest, opt, dtype=jnp.float64,
-                 h0_zone_count=None):
-        # h0_zone_count: zone count to use in the h0 formula.  The
-        # reference's initial RefineAtVertex does NOT enforce 2:1
-        # (nc_limit only applies from the first dynamic refinement), so
-        # its initial mesh has base + (2^d-1)*rs zones; our forest is
-        # always 2:1-conforming and ripples to more.  Passing the
-        # reference's count reproduces quad_data.h0 exactly
-        # (amr/laghos_solver.cpp:165-187).
+                 h0_zone_count=None, h0=None):
+        # h0: explicit base length scale.  The reference AMR driver
+        # OVERRIDES the mesh-derived h0 with SetH0(0.5 / order_v)
+        # (amr/laghos.cpp "double elem_size = 0.5; oper.SetH0(...)"),
+        # 0.5 being the base element size of square01_quad / cube01_hex;
+        # AMRUpdate never recomputes it.  h0_zone_count keeps the
+        # mesh-derived fallback (amr/laghos_solver.cpp:165-187) for
+        # forests not driven through the reference CLI semantics.
         self.forest = forest
         self.opt = opt
         self.h0_zone_count = h0_zone_count
+        if h0 is not None:
+            self._h0 = float(h0)
         self.dtype = dtype
         d = self.dim = forest.dim
         self.nd1 = opt.order_v + 1
@@ -243,8 +245,13 @@ class AMRHydro:
 
     # ------------------------------------------------------------------
     def _initial_energy(self, coords):
-        """Delta blast at the origin corner (E0 / 2^dim normalization,
-        amr/laghos.cpp blast_energy = 0.25)."""
+        """Delta blast at the origin corner.
+
+        NOTE: unlike main laghos.cpp:601-604 (which passes
+        blast_energy / 2^dim to DeltaCoefficient, "due to simulating
+        only a portion of the symmetric blast"), the AMR variant passes
+        blast_energy UNSCALED (amr/laghos.cpp:417-421, fixed 0.25) — so
+        the projected delta integrates to the full 0.25."""
         d = self.dim
         opt = self.opt
         # corner leaf: the one containing the origin
@@ -272,7 +279,7 @@ class AMRHydro:
                 for k in range(d)]
         detJ = np.prod(size)
         integral = detJ / (p + 1) ** d
-        scale = (opt.blast_energy / 2**d) / integral
+        scale = opt.blast_energy / integral
         # nodal GL basis: the ProjectDelta polynomial values at the nodes
         # ARE the dofs (no change of basis; the AMR build does not use
         # the Positive basis, amr/laghos.cpp:414-427)
@@ -346,11 +353,10 @@ class AMRHydro:
         def apply_flat(u):
             return apply_A(u.reshape(d, -1)).reshape(1, -1)
 
-        nt = ctx["true_ids"].shape[0]
-        dinv = jnp.broadcast_to(ctx["h1_dinv"][None, :], (d, nt))
-        dinv = jnp.where(ctx["ess_true"], 1.0, dinv).reshape(1, -1)
-        res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
-                 precond=lambda r: r * dinv)
+        # plain (unpreconditioned) CG: the AMR variant's FA velocity
+        # solve is CGSolver with no preconditioner
+        # (amr/laghos_solver.cpp:286-296)
+        res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter)
         return res.x.reshape(d, -1), jnp.sum(res.iters)
 
     def _solve_energy(self, ctx, sJit, vT):
@@ -368,7 +374,8 @@ class AMRHydro:
         return ({"x": S["v"], "v": dv, "e": de}, dtmin, visc_max, h1it)
 
     def _advance_impl(self, S, dt, count_stage1, ctx):
-        """RK4 step + dt estimate + per-zone max viscosity estimator.
+        """RK step (ode_solver 1/2/3/4/6, amr/laghos.cpp:337-354) + dt
+        estimate + per-zone max viscosity estimator.
 
         count_stage1: the reference's stage-1 qupdate is memoized from
         the previous post-step GetTimeStepEstimate, so its dt estimate
@@ -376,27 +383,66 @@ class AMRHydro:
         rejected step (ResetQuadratureData) or a mesh change (AMRUpdate
         sets quad_data_is_current = false).  Mirrors the main driver's
         count_stage1 handling (laghos.cpp / laghos_solver.cpp:1028)."""
-        ax = lambda a, c, b: jax.tree_util.tree_map(
-            lambda u, v: u + c * v, a, b)
-        k1, dtm1, v1, i1 = self._mult(ctx, S)
-        y = ax(S, dt / 2, k1)
-        k2, dtm2, v2, i2 = self._mult(ctx, y)
-        y = ax(S, dt / 2, k2)
-        k3, dtm3, v3, i3 = self._mult(ctx, y)
-        y = ax(S, dt, k3)
-        k4, dtm4, v4, i4 = self._mult(ctx, y)
-        S_new = jax.tree_util.tree_map(
-            lambda s0, a1, a2, a3, a4:
-            s0 + dt / 6.0 * (a1 + 2 * a2 + 2 * a3 + a4),
-            S, k1, k2, k3, k4)
-        _, dtm5, v5 = self._qupdate(ctx, S_new)
-        dt_est = jnp.minimum(jnp.minimum(dtm2, dtm3),
-                             jnp.minimum(dtm4, dtm5))
-        dt_est = jnp.where(count_stage1, jnp.minimum(dt_est, dtm1),
-                           dt_est)
+        tm = jax.tree_util.tree_map
+        ax = lambda a, c, b: tm(lambda u, v: u + c * v, a, b)
+        acc = {"dt": jnp.asarray(jnp.inf, self.dtype),
+               "it": jnp.asarray(0)}
+
+        def mult(y, counted=True):
+            k, dtm, _, it = self._mult(ctx, y)
+            acc["dt"] = jnp.where(counted, jnp.minimum(acc["dt"], dtm),
+                                  acc["dt"])
+            acc["it"] = acc["it"] + it
+            return k
+
+        s = int(self.opt.ode_solver)
+        if s == 1:
+            k1 = mult(S, count_stage1)
+            S_new = ax(S, dt, k1)
+        elif s == 2:
+            # mfem RK2Solver(0.5) — midpoint
+            k1 = mult(S, count_stage1)
+            k2 = mult(ax(S, dt / 2, k1))
+            S_new = ax(S, dt, k2)
+        elif s == 3:
+            # RK3 SSP
+            k1 = mult(S, count_stage1)
+            y = ax(S, dt, k1)
+            k2 = mult(y)
+            y = tm(lambda s0, yy, kk: 0.75 * s0 + 0.25 * (yy + dt * kk),
+                   S, y, k2)
+            k3 = mult(y)
+            S_new = tm(lambda s0, yy, kk: (s0 + 2.0 * (yy + dt * kk)) / 3.0,
+                       S, y, k3)
+        elif s == 4:
+            k1 = mult(S, count_stage1)
+            k2 = mult(ax(S, dt / 2, k1))
+            k3 = mult(ax(S, dt / 2, k2))
+            k4 = mult(ax(S, dt, k3))
+            S_new = tm(
+                lambda s0, a1, a2, a3, a4:
+                s0 + dt / 6.0 * (a1 + 2 * a2 + 2 * a3 + a4),
+                S, k1, k2, k3, k4)
+        elif s == 6:
+            from ..hydro import _RK6_A, _RK6_B
+            ks = []
+            for i in range(8):
+                y = S
+                for j in range(i):
+                    if _RK6_A[i][j] != 0.0:
+                        y = ax(y, dt * _RK6_A[i][j], ks[j])
+                ks.append(mult(y, count_stage1 if i == 0 else True))
+            S_new = S
+            for j in range(8):
+                if _RK6_B[j] != 0.0:
+                    S_new = ax(S_new, dt * _RK6_B[j], ks[j])
+        else:
+            raise ValueError(f"AMR: unsupported ode solver {s}")
+        _, dtm_f, v_f = self._qupdate(ctx, S_new)
+        dt_est = jnp.minimum(acc["dt"], dtm_f)
         # the estimator is the zone-max viscosity of the LAST qupdate
         # (amr/laghos_solver.cpp:467-468 resets it per call)
-        return S_new, dt_est, v5, i1 + i2 + i3 + i4
+        return S_new, dt_est, v_f, acc["it"]
 
     # ------------------------------------------------------------------
     def apply_amr(self, refine_keys=(), deref_keys=()):
@@ -483,6 +529,70 @@ class AMRHydro:
     def e_norm(self):
         e = np.asarray(self.state["e"])[:self.NE]
         return float(np.sqrt((e ** 2).sum()))
+
+    # ---- GetPerElementMinMax / FindElementsWithVertex equivalents -------
+    @staticmethod
+    def _gauss_npoints(int_order):
+        """MFEM IntRules.Get(SEGMENT, order) point count (intrules.cpp:
+        Gauss rules are exact to 2n-1, built with n = order/2 + 1)."""
+        return int_order // 2 + 1
+
+    def _eval_at_gauss(self, vals_e, nodes1d, int_order):
+        """Evaluate per-element tensor-nodal fields at the Gauss points
+        of IntRules order `int_order` — GridFunction::GetValues under
+        GetPerElementMinMax (amr/laghos.cpp:826-866).
+
+        vals_e: (..., NE, (len(nodes1d))**d) nodal values (lex order).
+        Returns (..., NE, npts**d)."""
+        d = self.dim
+        n1 = len(nodes1d)
+        npts = self._gauss_npoints(int_order)
+        pts, _ = fq.gauss_legendre(npts)
+        B, _ = fb.lagrange_tables(np.asarray(nodes1d), pts)  # (npts, n1)
+        lead = vals_e.shape[:-1]
+        out = vals_e.reshape(lead + (n1,) * d)
+        for k in range(d):
+            ax = out.ndim - 1 - k
+            out = np.moveaxis(np.tensordot(out, B, axes=[[ax], [1]]),
+                              -1, ax)
+        return out.reshape(lead + (npts ** d,))
+
+    def v_min_max(self, S):
+        """Per-element (min, max) of |v| at the int points of order
+        order_v + 1 — GetPerElementMinMax(v_gf, ...) on a vector gf
+        takes the pointwise Euclidean norm (amr/laghos.cpp:846-857)."""
+        vL = self._p_apply_np(np.asarray(S["v"])[:, :self.nt])
+        v_e = vL[:, np.asarray(self.space["gather"])]      # (d, NE, nd)
+        gl = fq.gauss_lobatto(self.opt.order_v + 1)
+        vq = self._eval_at_gauss(v_e, gl, self.opt.order_v + 1)
+        mag = np.sqrt((vq ** 2).sum(axis=0))               # (NE, npts^d)
+        return mag.min(axis=1), mag.max(axis=1)
+
+    def rho_max(self, S):
+        """Per-element max of the L2-projected density at the int points
+        of order order_e + 1 (ComputeDensity + GetPerElementMinMax,
+        amr/laghos.cpp:663-666)."""
+        rho = self.compute_density(S)                      # (NE, ld) nodal
+        rq = self._eval_at_gauss(rho, self.l2_nodes1d,
+                                 self.opt.order_e + 1)
+        return rq.max(axis=1)
+
+    def elements_with_vertex(self, S, position, size=1e-10):
+        """Leaf indices with a corner vertex within `size` of `position`
+        on the CURRENT (deformed) mesh — FindElementsWithVertex
+        (amr/laghos.cpp:799-820), used for blast-zone deref protection."""
+        d = self.dim
+        p = self.opt.order_v
+        xL = self._p_apply_np(np.asarray(S["x"])[:, :self.nt])
+        gather = np.asarray(self.space["gather"])          # (NE, (p+1)^d)
+        rng = np.arange(p + 1)
+        grids = np.meshgrid(*([rng] * d), indexing="ij")
+        lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+        corner_sel = np.where(np.all((lat == 0) | (lat == p), axis=1))[0]
+        xc = xL[:, gather[:, corner_sel]]                  # (d, NE, 2^d)
+        pos = np.asarray(position, dtype=np.float64)[:d]
+        dist2 = ((xc - pos[:, None, None]) ** 2).sum(axis=0)
+        return np.where((dist2 <= size * size).any(axis=1))[0]
 
 
 def amr_qupdate(x_e, v_e, e_b, rho0DetJ0w, Jac0inv, tables, h0, depths,

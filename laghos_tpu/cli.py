@@ -80,6 +80,14 @@ def build_parser():
                         "(ppermute plane halos, psum dots, pmin dt — the "
                         "production multi-chip path) instead of GSPMD "
                         "sharding")
+    p.add_argument("-amr", "--enable-amr", action="store_true", dest="amr",
+                   help="adaptive mesh refinement (problem 1 only; "
+                        "amr/laghos.cpp:106-113)")
+    p.add_argument("-rt", "--ref-threshold", type=float, default=2e-4,
+                   dest="ref_threshold", help="AMR refinement threshold")
+    p.add_argument("-dt", "--deref-threshold", type=float, default=0.75,
+                   dest="deref_threshold",
+                   help="AMR derefinement threshold (0 = no derefinement)")
     p.add_argument("--dtype", default="f64", choices=["f64", "f32"])
     p.add_argument("--ozaki", action="store_true", dest="ozaki",
                    help="f64 TPU production mode: hot contractions as "
@@ -133,6 +141,52 @@ def make_mesh(args):
     return m
 
 
+def _main_amr(args):
+    """AMR run (amr/laghos.cpp): RefineAtVertex initial mesh, viscosity-
+    estimator refinement, density-based derefinement.  Problem 1 only;
+    blast energy is the variant's fixed 0.25 and h0 its fixed
+    0.5/order_v (SetH0)."""
+    if args.problem != 1:
+        raise SystemExit("AMR only supported for problem 1.")
+    from .amr.driver import run_amr
+    from .amr.forest import Forest
+    from .amr.solver import AMRHydro
+    from .hydro import Options
+
+    base = {"square01_quad": (2, (2, 2), (1.0, 1.0)),
+            "cube01_hex": (3, (2, 2, 2), (1.0, 1.0, 1.0))}
+    name = args.mesh.rsplit("/", 1)[-1].removesuffix(".mesh")
+    if name in base:
+        dim, base_n, sizes = base[name]
+    else:
+        dim = args.dim
+        base_n = (args.nx, args.ny, args.nz)[:dim]
+        sizes = (args.xwidth, args.ywidth, args.zwidth)[:dim]
+    levels = args.rs + args.rp
+    f = Forest(dim, base_n, sizes, max_depth=levels)
+    # initial mesh: RefineAtVertex at the blast corner, rs+rp times,
+    # WITHOUT 2:1 balancing (amr/laghos.cpp:199-209)
+    for _ in range(levels):
+        corner = [k for k in f.leaf_list() if all(v == 0 for v in k[1])]
+        f.refine(corner, balance=False)
+    opt = Options(problem=1, blast_energy=0.25, order_v=args.order_v,
+                  order_e=args.order_e, order_q=args.order_q,
+                  cfl=args.cfl, cg_tol=args.cg_tol,
+                  cg_max_iter=args.cg_max_iter,
+                  ode_solver=args.ode_solver)
+    h = AMRHydro(f, opt, h0=0.5 / args.order_v)
+    print(f"Number of zones in the initial AMR mesh: {h.NE}")
+    res = run_amr(h, t_final=args.t_final,
+                  ref_threshold=args.ref_threshold,
+                  deref_threshold=args.deref_threshold,
+                  max_steps=args.max_steps, vis_steps=args.vis_steps,
+                  verbose=True)
+    print(f"step {res['steps']:5d},\tt = {res['t']:.4f},"
+          f"\tdt = {res['dt']:.6f},\t|e| = {res['e_norm']:.10e}"
+          f"  NE={res['NE']}")
+    return res
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -147,6 +201,9 @@ def main(argv=None):
     from . import driver
     from .hydro import Hydro, Options
     from .timing import print_timing
+
+    if args.amr:
+        return _main_amr(args)
 
     m = make_mesh(args)
     print(f"Number of zones in the serial mesh: {m.num_elems}")

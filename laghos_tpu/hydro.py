@@ -16,6 +16,7 @@ the RK stages, the CG loops (lax.while_loop) and the dt estimate.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 
 import jax
@@ -297,18 +298,23 @@ class Hydro:
             "e": jnp.asarray(e_b, dtype),
         }
 
-        # compiled entry points (built lazily, keyed by static flags)
+        # compiled entry points (built lazily, keyed by static flags).
+        # Every jit takes the large per-mesh arrays as ARGUMENTS (via
+        # _ctx/_bind_ctx) rather than closure constants: embedded
+        # multi-MB constants bloat the lowered module ~linearly with NE
+        # and broke remote compilation at rs5 (HTTP 413) — and XLA
+        # handles parameters better than giant literals anyway.
         self._advance_cache = {}
-        self._estimate = jax.jit(self._dt_estimate_impl)
-        self._energies = jax.jit(self._energies_impl)
+        self._estimate = self._ctx_jit(self._dt_estimate_impl)
+        self._energies = self._ctx_jit(self._energies_impl)
         # phase-jitted pieces for the FOM-instrumented path
-        self._jq = jax.jit(self._qupdate)
-        self._jforce1 = jax.jit(self._force_rhs_raw)
-        self._jprep_v = jax.jit(self._prep_velocity_rhs)
-        self._jcg_v = jax.jit(self._cg_velocity)
-        self._jfT = jax.jit(self._force_transpose)
-        self._jsrc = jax.jit(self._taylor_source)
-        self._jcg_e = jax.jit(self._cg_energy)
+        self._jq = self._ctx_jit(self._qupdate)
+        self._jforce1 = self._ctx_jit(self._force_rhs_raw)
+        self._jprep_v = self._ctx_jit(self._prep_velocity_rhs)
+        self._jcg_v = self._ctx_jit(self._cg_velocity)
+        self._jfT = self._ctx_jit(self._force_transpose)
+        self._jsrc = self._ctx_jit(self._taylor_source)
+        self._jcg_e = self._ctx_jit(self._cg_energy)
 
     # -------------------------------------------------- setup helpers ----
     def _nodal_to_bernstein_nd(self, f_nodal: np.ndarray, T1: np.ndarray):
@@ -774,6 +780,43 @@ class Hydro:
                     lambda u, v, c=b[j]: u + dt * c * v, out, ks[j])
         return out
 
+    # ------------------------------------------- ctx-as-arguments -------
+    # Large per-mesh arrays are passed to every jitted program as
+    # arguments (a "ctx" pytree) instead of being baked in as HLO
+    # constants.  During tracing the ctx tracers are temporarily bound
+    # over the instance attributes so the whole method tree picks them
+    # up unchanged; outside tracing the attributes hold the real arrays.
+    _CTX_NAMES = ("gather", "_inc", "_incmask", "massD", "h1_dinv",
+                  "_schwarz", "Me_inv", "rt_rhs", "ess_mask_j", "gamma_j",
+                  "rho0DetJ0w_j", "Jac0inv_j", "Jac0inv9_j", "one_l2")
+
+    def _ctx(self):
+        return {k: getattr(self, k, None) for k in self._CTX_NAMES}
+
+    @contextlib.contextmanager
+    def _bind_ctx(self, ctx):
+        old = {k: getattr(self, k, None) for k in ctx}
+        try:
+            for k, v in ctx.items():
+                setattr(self, k, v)
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
+
+    def _ctx_jit(self, fn, donate_argnums=()):
+        def wrapped(ctx, *args):
+            with self._bind_ctx(ctx):
+                return fn(*args)
+
+        jitted = jax.jit(wrapped, donate_argnums=tuple(
+            1 + i for i in donate_argnums))
+
+        def call(*args):
+            return jitted(self._ctx(), *args)
+
+        return call
+
     # -------------------------------------------------- public API -------
     def advance(self, S, dt, count_stage1=False, sJit1=None):
         """Step + post-step dt estimate, one compiled call.
@@ -804,7 +847,7 @@ class Hydro:
                     return S_new, dt_est, stats, sj_new
             # the caller (driver.run) never reuses the memoized stage-1
             # qdata after the call — donate its HBM to the new qdata
-            self._advance_cache[key] = jax.jit(
+            self._advance_cache[key] = self._ctx_jit(
                 f, donate_argnums=(2,) if key[1] else ())
         return self._advance_cache[key](S, dt, sJit1)
 

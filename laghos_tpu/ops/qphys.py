@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .smallmat import _jacobi_rotation
+from .smallmat import jacobi_rot_step
 
 
 def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
@@ -87,26 +87,22 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
     zero = jnp.zeros_like(a00)
     V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
 
-    def rot(app, aqq, apq, arp, arq):
-        c, s, t = _jacobi_rotation(app, aqq, apq)
-        return (app - t * apq, aqq + t * apq,
-                c * arp - s * arq, s * arp + c * arq, c, s)
-
     def vupd(c, s, p, q):
         for i in range(3):
             vip, viq = V[i][p], V[i][q]
             V[i][p] = c * vip - s * viq
             V[i][q] = s * vip + c * viq
 
+    # NaN-guarded rotations (skip-as-identity on TPU df64 artifacts)
     for _ in range(eig_sweeps):
-        a00, a11, a02, a12, c, s = rot(a00, a11, a01, a02, a12)
-        a01 = zero
+        a00, a11, a01, a02, a12, c, s = jacobi_rot_step(
+            a00, a11, a01, a02, a12)
         vupd(c, s, 0, 1)
-        a00, a22, a01, a12, c, s = rot(a00, a22, a02, a01, a12)
-        a02 = zero
+        a00, a22, a02, a01, a12, c, s = jacobi_rot_step(
+            a00, a22, a02, a01, a12)
         vupd(c, s, 0, 2)
-        a11, a22, a01, a02, c, s = rot(a11, a22, a12, a01, a02)
-        a12 = zero
+        a11, a22, a12, a01, a02, c, s = jacobi_rot_step(
+            a11, a22, a12, a01, a02)
         vupd(c, s, 1, 2)
 
     m01 = a00 <= a11
@@ -171,19 +167,13 @@ def _finish(J, st, visc, Jinv9, detJ, S, winv, *, h1order, cfl,
     t02 = j00 * j02 + j10 * j12 + j20 * j22
     t12 = j01 * j02 + j11 * j12 + j21 * j22
 
-    def rot2(app, aqq, apq, arp, arq):
-        c, s, t = _jacobi_rotation(app, aqq, apq)
-        return (app - t * apq, aqq + t * apq,
-                c * arp - s * arq, s * arp + c * arq)
-
-    z = jnp.zeros_like(t00)
     for _ in range(eig_sweeps):
-        t00, t11, t02, t12 = rot2(t00, t11, t01, t02, t12)
-        t01 = z
-        t00, t22, t01, t12 = rot2(t00, t22, t02, t01, t12)
-        t02 = z
-        t11, t22, t01, t02 = rot2(t11, t22, t12, t01, t02)
-        t12 = z
+        t00, t11, t01, t02, t12 = jacobi_rot_step(t00, t11, t01,
+                                                  t02, t12)[:5]
+        t00, t22, t02, t01, t12 = jacobi_rot_step(t00, t22, t02,
+                                                  t01, t12)[:5]
+        t11, t22, t12, t01, t02 = jacobi_rot_step(t11, t22, t12,
+                                                  t01, t02)[:5]
     lam = jnp.minimum(jnp.minimum(t00, t11), t22)
     sv = jnp.sqrt(jnp.maximum(lam, 0.0))
 

@@ -102,14 +102,45 @@ def _jacobi_rotation(app, aqq, apq, inv=None):
     nonzero = apq != 0.0
     safe = jnp.where(nonzero, apq, one)
     tau = (aqq - app) / (2.0 * safe)
+    # tau can be non-finite on TPU even for nonzero apq: the f64
+    # emulation has f32 exponent range and flushes denormals, so a
+    # denormal apq with equal diagonals gives 0/0 = NaN (and a huge
+    # ratio overflows to inf).  Either way the off-diagonal entry is
+    # negligible — skip the rotation.
+    ok = nonzero & jnp.isfinite(tau)
     sgn = jnp.where(tau >= 0.0, one, -one)
-    t = sgn / (jnp.abs(tau) + jnp.sqrt(one + tau * tau))
+    tau_s = jnp.where(ok, tau, zero)
+    t = sgn / (jnp.abs(tau_s) + jnp.sqrt(one + tau_s * tau_s))
     c = one / jnp.sqrt(one + t * t)
     s = t * c
-    c = jnp.where(nonzero, c, one)
-    s = jnp.where(nonzero, s, zero)
-    t = jnp.where(nonzero, t, zero)
+    c = jnp.where(ok, c, one)
+    s = jnp.where(ok, s, zero)
+    t = jnp.where(ok, t, zero)
     return c, s, t
+
+
+def jacobi_rot_step(app, aqq, apq, arp, arq):
+    """One guarded Jacobi rotation in the (p,q) plane; r = third index.
+
+    Returns (app', aqq', apq', arp', arq', c, s) with apq' = 0 for an
+    applied rotation.  Rotations whose updates come out NaN are SKIPPED
+    (identity, apq kept): XLA's TPU f64 emulation (double-float, f32
+    exponent range, flushed denormals) can NaN on cancellation patterns
+    that are exact in IEEE f64; skipping only delays convergence of
+    that point, and on IEEE hosts the guard never fires."""
+    c, s, t = _jacobi_rotation(app, aqq, apq)
+    app_n = app - t * apq
+    aqq_n = aqq + t * apq
+    arp_n = c * arp - s * arq
+    arq_n = s * arp + c * arq
+    bad = (jnp.isnan(app_n) | jnp.isnan(aqq_n) | jnp.isnan(arp_n)
+           | jnp.isnan(arq_n))
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(s)
+    return (jnp.where(bad, app, app_n), jnp.where(bad, aqq, aqq_n),
+            jnp.where(bad, apq, zero),
+            jnp.where(bad, arp, arp_n), jnp.where(bad, arq, arq_n),
+            jnp.where(bad, one, c), jnp.where(bad, zero, s))
 
 
 def _eig3_smallest(A: jnp.ndarray, sweeps: int = 4):
@@ -132,15 +163,7 @@ def _eig3_smallest(A: jnp.ndarray, sweeps: int = 4):
     zero = jnp.zeros_like(a00)
     V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
 
-    def rot(app, aqq, apq, arp, arq):
-        """One Jacobi rotation in the (p,q) plane; r is the third index.
-        Returns updated (app, aqq, arp, arq, c, s); apq' = 0."""
-        c, s, t = _jacobi_rotation(app, aqq, apq)
-        app_n = app - t * apq
-        aqq_n = aqq + t * apq
-        arp_n = c * arp - s * arq
-        arq_n = s * arp + c * arq
-        return app_n, aqq_n, arp_n, arq_n, c, s
+    rot = jacobi_rot_step
 
     def vupd(c, s, p, q):
         for i in range(3):
@@ -150,16 +173,13 @@ def _eig3_smallest(A: jnp.ndarray, sweeps: int = 4):
 
     for _ in range(sweeps):
         # (p,q) = (0,1), r = 2
-        a00, a11, a02, a12, c, s = rot(a00, a11, a01, a02, a12)
-        a01 = zero
+        a00, a11, a01, a02, a12, c, s = rot(a00, a11, a01, a02, a12)
         vupd(c, s, 0, 1)
         # (p,q) = (0,2), r = 1
-        a00, a22, a01, a12, c, s = rot(a00, a22, a02, a01, a12)
-        a02 = zero
+        a00, a22, a02, a01, a12, c, s = rot(a00, a22, a02, a01, a12)
         vupd(c, s, 0, 2)
         # (p,q) = (1,2), r = 0
-        a11, a22, a01, a02, c, s = rot(a11, a22, a12, a01, a02)
-        a12 = zero
+        a11, a22, a12, a01, a02, c, s = rot(a11, a22, a12, a01, a02)
         vupd(c, s, 1, 2)
 
     dia = jnp.stack([a00, a11, a22], axis=-1)
@@ -211,16 +231,11 @@ def _eig3_values_min(A: jnp.ndarray, sweeps: int = 4):
     a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
     zero = jnp.zeros_like(a00)
 
-    def rot(app, aqq, apq, arp, arq):
-        c, s, t = _jacobi_rotation(app, aqq, apq)
-        return (app - t * apq, aqq + t * apq,
-                c * arp - s * arq, s * arp + c * arq)
-
     for _ in range(sweeps):
-        a00, a11, a02, a12 = rot(a00, a11, a01, a02, a12)
-        a01 = zero
-        a00, a22, a01, a12 = rot(a00, a22, a02, a01, a12)
-        a02 = zero
-        a11, a22, a01, a02 = rot(a11, a22, a12, a01, a02)
-        a12 = zero
+        a00, a11, a01, a02, a12 = jacobi_rot_step(a00, a11, a01,
+                                                  a02, a12)[:5]
+        a00, a22, a02, a01, a12 = jacobi_rot_step(a00, a22, a02,
+                                                  a01, a12)[:5]
+        a11, a22, a12, a01, a02 = jacobi_rot_step(a11, a22, a12,
+                                                  a01, a02)[:5]
     return jnp.minimum(jnp.minimum(a00, a11), a22)

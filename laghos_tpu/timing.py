@@ -9,6 +9,16 @@ FOM rates:
     FOM2 = 1e-6 * steps * (H1 + L2 dofs) / T_force
     FOM3 = 1e-6 * quads * steps / T_qdata
     FOM  = time-weighted mix, FOM0 = 1e-6 * steps * (H1+L2) / (T1+T2+T3)
+
+Multi-device semantics: the reference MPI-reduces each phase time with
+MPI_MAX over ranks and uses global dof counts (laghos_solver.cpp:
+706-716), so FOM reflects the slowest rank.  Here every multi-device
+mode (GSPMD sharding and the shard_map slab path) executes ONE SPMD
+program whose collectives synchronize all devices — the host-side fence
+around the program returns when the LAST device finishes, so the wall
+time measured below IS the max over devices, and the dof counts fed in
+by the drivers are already global.  No separate reduction is needed (or
+possible: per-device stopwatches do not exist inside a jitted program).
 """
 
 from __future__ import annotations

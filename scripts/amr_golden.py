@@ -38,12 +38,17 @@ def main(row=1, max_steps=-1):
         f.refine(corner, balance=False)
     opt = Options(problem=1, blast_energy=0.25, order_v=cfg["ok"],
                   order_e=cfg["ot"], cg_tol=1e-8)
-    # reference initial mesh: base + (2^d-1)*rs zones (no 2:1 ripple)
-    h = AMRHydro(f, opt, h0_zone_count=4 + 3 * cfg["rs"] if f.dim == 2
-                 else 8 + 7 * cfg["rs"])
+    # the reference driver hard-sets h0 = 0.5 / order_v via SetH0
+    # (amr/laghos.cpp: elem_size = 0.5), overriding the mesh formula
+    h = AMRHydro(f, opt, h0=0.5 / cfg["ok"])
     print(f"initial leaves: {h.NE}")
+    trace = []
     res = run_amr(h, t_final=cfg["tf"], ref_threshold=cfg["rt"],
-                  max_steps=max_steps, vis_steps=25, verbose=True)
+                  max_steps=max_steps, vis_steps=25, verbose=True,
+                  trace=trace)
+    import json
+    with open(f"/tmp/amr_trace_row{row}.json", "w") as fp:
+        json.dump(trace, fp)
     step, dt, norm = cfg["ref"]
     rel = abs(res["e_norm"] - norm) / norm
     print(f"AMR row {row}: steps {res['steps']} (ref {step}), "

@@ -17,12 +17,10 @@ def test_forest_refine_balance():
     f.refine([(1, (0, 0))])
     assert f.num_leaves == 10
     f.refine([(2, (0, 0))])
-    # all neighbors of (2,(0,0)) must now be at depth >= 2
-    depths = {k: 1 for k in f.leaf_list()}
-    for (k, idx) in f.leaf_list():
-        for (k2, idx2) in f.leaf_list():
-            pass  # structural sanity only: counts
     assert f.num_leaves > 10
+    # 2:1 invariant: no leaf may have a face neighbor more than one
+    # level coarser
+    assert f.balance_violations(1) == []
 
 
 def test_forest_derefine_roundtrip():
@@ -49,6 +47,41 @@ def test_space_constraints_partition_of_unity():
     # P x_T must reproduce the linear field at slave nodes
     sv = np.einsum("sw,sw->s", xT[sp["masters"]], sp["weights"])
     assert np.allclose(sv, lin[sp["slave_ids"]], atol=1e-12)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_space_constraints_3d_poly_exact(order):
+    """3D hanging constraints (faces AND edge-diagonals) must reproduce
+    any degree-p tensor polynomial from its true dofs — including on
+    non-2:1 meshes (the reference's RefineAtVertex initial grading)."""
+    f = Forest(3, (2, 2, 2), (1.0, 1.0, 1.0), max_depth=3)
+    # graded corner chain, no balancing: depth-3 leaves meet depth-0/1
+    # leaves across faces, edges, and corners
+    for _ in range(3):
+        corner = [k for k in f.leaf_list() if all(v == 0 for v in k[1])]
+        f.refine(corner, balance=False)
+    sp = f.build_space(order)
+    if sp["slave_ids"].size:
+        assert np.allclose(sp["weights"].sum(axis=1), 1.0, atol=1e-12)
+    coords = sp["coords"]
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    # full degree-p tensor polynomial (exactly in the H1 space)
+    poly = ((1.0 + 0.3 * x) ** order * (1.0 - 0.4 * y) ** order
+            * (0.5 + 0.25 * z) ** order)
+    xT = poly[sp["true_ids"]]
+    sv = np.einsum("sw,sw->s", xT[sp["masters"]], sp["weights"])
+    assert np.allclose(sv, poly[sp["slave_ids"]], atol=1e-11)
+    # and a balanced (2:1) variant
+    f2 = Forest(3, (2, 2, 2), (1.0, 1.0, 1.0), max_depth=2)
+    f2.refine([(0, (0, 0, 0))])
+    f2.refine([(1, (0, 0, 0))])
+    sp2 = f2.build_space(order)
+    coords = sp2["coords"]
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    poly = (x + 0.5) ** order * (y - 2.0) * (z + 0.25)
+    xT = poly[sp2["true_ids"]]
+    sv = np.einsum("sw,sw->s", xT[sp2["masters"]], sp2["weights"])
+    assert np.allclose(sv, poly[sp2["slave_ids"]], atol=1e-11)
 
 
 def test_amr_transfer_exactness():
@@ -78,7 +111,9 @@ def test_amr_transfer_exactness():
         return float((rw * eq).sum())
 
     ie0 = total_ie(h)
-    assert np.isclose(ie0, 0.25 / 4.0, rtol=1e-12)  # E0/2^d
+    # the AMR variant does NOT divide by 2^d (amr/laghos.cpp:417-421,
+    # unlike main laghos.cpp:601-604): the delta integrates to E0
+    assert np.isclose(ie0, 0.25, rtol=1e-12)
     corner = [k for k in f.leaf_list() if k[1] == (0, 0)]
     h.apply_amr(refine_keys=corner)
     ie1 = total_ie(h)
@@ -88,6 +123,31 @@ def test_amr_transfer_exactness():
     sp = h.space
     xT = np.asarray(h.state["x"])[:, :h.nt]
     assert np.allclose(xT.T, sp["coords"][sp["true_ids"]], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_amr_golden_row1_prefix():
+    """Numeric regression gate on the amr/README row-1 configuration
+    (60-step prefix): reference-semantics driver (RefineAtVertex initial
+    mesh, SetH0 0.5/ok, |v|-at-Gauss gates, vertex-radius blast
+    protection, undivided blast energy).  Values are our own pinned
+    trajectory — they catch ANY semantic drift in forest/solver/driver."""
+    from laghos_tpu.amr.driver import run_amr
+    from laghos_tpu.amr.solver import AMRHydro
+
+    f = Forest(2, (2, 2), (1.0, 1.0), max_depth=4)
+    for _ in range(4):
+        corner = [k for k in f.leaf_list() if all(v == 0 for v in k[1])]
+        f.refine(corner, balance=False)
+    opt = Options(problem=1, blast_energy=0.25, order_v=2, order_e=1,
+                  cg_tol=1e-8)
+    h = AMRHydro(f, opt, h0=0.25)
+    assert h.NE == 16
+    res = run_amr(h, t_final=0.8, ref_threshold=2e-4, max_steps=60,
+                  vis_steps=1000)
+    assert res["steps"] == 51
+    assert res["NE"] == 70
+    assert np.isclose(res["e_norm"], 390.4794540789, rtol=1e-8)
 
 
 @pytest.mark.slow
