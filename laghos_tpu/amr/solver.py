@@ -76,26 +76,16 @@ class AMRHydro:
             "L2B": jnp.asarray(l2B, dtype),
             "W": jnp.asarray(W, dtype),
         }
-        # refinement matrices (1D): parent poly -> child halves
-        gl = fq.gauss_lobatto(opt.order_v + 1)
-        BL, _ = fb.lagrange_tables(gl, gl / 2.0)
-        BR, _ = fb.lagrange_tables(gl, 0.5 + gl / 2.0)
-        self.h1_refine = (BL, BR)      # child_vals = B @ parent_vals
-        # L2 nodal refinement = point evaluation at child node positions
-        EL, _ = fb.lagrange_tables(gln, gln / 2.0)
-        ER, _ = fb.lagrange_tables(gln, 0.5 + gln / 2.0)
-        self.l2_refine = (EL, ER)
-        # L2 projection (derefinement): parent = (M_ref)^-1 sum_c E_c^T
-        #   M_ref,c child  with reference mass matrices (affine children)
-        qx, qw = fq.gauss_legendre(max(2 * opt.order_e + 2, 2))
-        Bq, _ = fb.lagrange_tables(gln, qx)
-        Mref = np.einsum("qi,qj,q->ij", Bq, Bq, qw)
-        self.l2_Mref_inv = np.linalg.inv(Mref)
-        self.l2_Mref = Mref
 
         # physics flags: AMR variant is Sedov-only with hard viscosity
         self.use_visc = True
         self.h1order = float(opt.order_v)
+
+        # distribution hook: parallel.sharding.shard_amr installs a
+        # re-placement callback so every AMR rebuild keeps the ctx and
+        # state sharded over the device mesh (Rebalance equivalent)
+        self._on_rebuild = None
+        self.device_mesh = None
 
         self.rebuild(initial=True)
 
@@ -112,6 +102,8 @@ class AMRHydro:
                                         self._initial_energy(coords))
         else:
             self._build_geometry()
+        if self._on_rebuild is not None:
+            self._on_rebuild()
 
     @staticmethod
     def _cap(n, quantum=64):
@@ -499,6 +491,8 @@ class AMRHydro:
         self.x0_T = x0T_new
         self._build_geometry()
         self.state = self.pad_state(xT_new, vT_new, new_e)
+        if self._on_rebuild is not None:
+            self._on_rebuild()
         return True
 
     def compute_density(self, S):

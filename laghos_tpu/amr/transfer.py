@@ -97,6 +97,60 @@ class H1Transfer:
         return out
 
 
+_MFEM_CHILD_ORDER = {
+    # NCMesh child creation order = geometry vertex order: the
+    # derefinement operator's "last covering child wins" tie-break
+    # follows this order (fespace.cpp DerefinementOperator::Mult
+    # overwrites rows per fine element in mesh order)
+    2: [(0, 0), (1, 0), (1, 1), (0, 1)],
+    3: [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)],
+}
+
+
+def _pointwise_deref(nodes1d, p, dim):
+    """Per-child parent-restriction matrices for MFEM's nodal
+    derefinement (NodalFiniteElement::GetLocalRestriction): parent dof
+    at node t = the child polynomial evaluated at the node, taken from
+    the LAST child (in creation order) whose reference domain contains
+    it.  Returns {child_bits: (ld, ld) matrix}; summing the per-child
+    applications reproduces the row-overwrite semantics because each
+    parent row is nonzero in exactly one child's matrix."""
+    n1 = len(nodes1d)
+    ld = n1 ** dim
+    rng = np.arange(n1)
+    grids = np.meshgrid(*([rng] * dim), indexing="ij")
+    lat = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+    eps = 1e-12
+    owner = np.full(ld, -1)
+    order = _MFEM_CHILD_ORDER[dim]
+    for ci, bits in enumerate(order):
+        ok = np.ones(ld, dtype=bool)
+        for dd in range(dim):
+            t = nodes1d[lat[:, dd]]
+            loc = 2.0 * t - bits[dd]
+            ok &= (loc >= -eps) & (loc <= 1.0 + eps)
+        owner[ok] = ci                      # later child overwrites
+    mats = {}
+    for ci, bits in enumerate(order):
+        R = np.zeros((ld, ld))
+        rows = np.where(owner == ci)[0]
+        for a in rows:
+            wlist = []
+            for dd in range(dim):
+                t = nodes1d[lat[a, dd]]
+                loc = np.clip(2.0 * t - bits[dd], 0.0, 1.0)
+                B, _ = fb.lagrange_tables(nodes1d, np.array([loc]))
+                wlist.append(B[0])
+            for cn in range(ld):
+                w = 1.0
+                for dd in range(dim):
+                    w *= wlist[dd][lat[cn, dd]]
+                R[a, cn] = w
+        mats[tuple(bits)] = R
+    return mats
+
+
 class L2Transfer:
     def __init__(self, p, dim):
         # nodal GL basis (the reference AMR build does not use Bernstein:
@@ -106,12 +160,14 @@ class L2Transfer:
         EL, _ = fb.lagrange_tables(gln, gln / 2.0)
         ER, _ = fb.lagrange_tables(gln, 0.5 + gln / 2.0)
         self.child = (EL, ER)
-        # derefinement: 1D T_b = 0.5 * Mref^-1 E_b^T Mref
-        qx, qw = fq.gauss_legendre(p + 2)
-        Bq, _ = fb.lagrange_tables(gln, qx)
-        M = np.einsum("qi,qj,q->ij", Bq, Bq, qw)
-        Mi = np.linalg.inv(M)
-        self.parent = (0.5 * Mi @ EL.T @ M, 0.5 * Mi @ ER.T @ M)
+        # derefinement: MFEM uses pointwise nodal restriction (fe.cpp
+        # NodalFiniteElement::GetLocalRestriction via
+        # GetLocalDerefinementMatrices), NOT an L2 projection — each
+        # parent node takes the value of the last covering child's
+        # polynomial at that node.  (This is exactly why the AMR build
+        # needs the nodal basis: Positive/Bernstein elements have no
+        # GetLocalRestriction.)
+        self.parent_sel = _pointwise_deref(gln, p, dim)
         self.dim = dim
         self.ld = (p + 1) ** dim
 
@@ -120,7 +176,6 @@ class L2Transfer:
         d = self.dim
         out = np.zeros((len(plan.entries), self.ld))
         EL, ER = self.child
-        TL, TR = self.parent
         for li, (kind, src, extra) in enumerate(plan.entries):
             if kind == TransferPlan.SAME:
                 out[li] = old_e[src]
@@ -130,7 +185,6 @@ class L2Transfer:
             else:
                 acc = np.zeros(self.ld)
                 for bits, oi in extra:
-                    mats = [TR if bits[k] else TL for k in range(d)]
-                    acc += _tensor_apply(old_e[oi][None], mats, d)[0]
+                    acc += self.parent_sel[tuple(bits)] @ old_e[oi]
                 out[li] = acc
         return out

@@ -69,5 +69,57 @@ def shard_hydro(hydro, mesh: Mesh):
         "v": put(hydro.S0["v"], lvec),
         "e": put(hydro.S0["e"], elem2),
     }
+    if getattr(hydro, "Jac0inv9_j", None) is not None:
+        hydro.Jac0inv9_j = tuple(
+            put(a, elem2) for a in hydro.Jac0inv9_j)
     hydro.mesh_devices = mesh
     return hydro
+
+
+def shard_amr(hydro, mesh: Mesh):
+    """Distribute an AMRHydro over a device mesh (in-place).
+
+    The TPU-native analog of the reference's ParNCMesh distribution +
+    Rebalance() (amr/laghos.cpp:707): every capacity-padded
+    element-batched ctx array shards over the element axis; node/true
+    vectors replicate (hanging-node constraint applications and CG dots
+    become cross-device collectives under GSPMD).  After every AMR
+    event the rebuilt ctx is re-placed the same way — leaf order is the
+    forest's deterministic (depth, index) order, so re-placement IS the
+    load rebalance: each device always owns an equal contiguous chunk
+    of the new element set.  (The reference's SFC ordering gives better
+    surface-to-volume locality; with GSPMD the collective schedule is
+    XLA's concern, and a Morton leaf order remains a locality upgrade.)
+
+    Call once after construction; placement then persists across
+    apply_amr() rebuilds via the _on_rebuild hook.
+    """
+    hydro.device_mesh = mesh
+    hydro._on_rebuild = lambda: _place_amr_ctx(hydro, mesh)
+    _place_amr_ctx(hydro, mesh)
+    return hydro
+
+
+def _place_amr_ctx(hydro, mesh: Mesh):
+    elem = {1: NamedSharding(mesh, P("dd")),
+            2: NamedSharding(mesh, P("dd", None)),
+            3: NamedSharding(mesh, P("dd", None, None)),
+            4: NamedSharding(mesh, P("dd", None, None, None))}
+    repl = NamedSharding(mesh, P())
+    put = jax.device_put
+    elem_axes = {"gather", "elem_valid", "rho0DetJ0w", "Jac0inv",
+                 "massD", "Me_inv", "depths"}
+    ctx = {}
+    for k, v in hydro.ctx.items():
+        if k in elem_axes:
+            ctx[k] = put(v, elem[v.ndim])
+        else:
+            ctx[k] = put(v, repl)
+    hydro.ctx = ctx
+    hydro.tables = {k: put(v, repl) for k, v in hydro.tables.items()}
+    if getattr(hydro, "state", None) is not None:
+        hydro.state = {
+            "x": put(hydro.state["x"], repl),
+            "v": put(hydro.state["v"], repl),
+            "e": put(hydro.state["e"], elem[2]),
+        }

@@ -19,16 +19,21 @@ from laghos_tpu.amr.solver import AMRHydro
 from laghos_tpu.hydro import Options
 
 ROWS = {
-    1: {"rs": 4, "tf": 0.8, "ok": 2, "ot": 1, "rt": 2e-4,
+    1: {"rs": 4, "tf": 0.8, "ok": 2, "ot": 1, "rt": 2e-4, "dim": 2,
         "ref": (2374, 0.000308, 90.9397751791)},
-    2: {"rs": 4, "tf": 0.8, "ok": 3, "ot": 2, "rt": 2e-4,
+    2: {"rs": 4, "tf": 0.8, "ok": 3, "ot": 2, "rt": 2e-4, "dim": 2,
         "ref": (2727, 0.000458, 168.0063715464)},
+    3: {"rs": 3, "tf": 0.6, "ok": 2, "ot": 1, "rt": 2e-4, "dim": 3,
+        "ref": (998, 0.001262, 388.6322346715)},
+    4: {"rs": 4, "tf": 0.6, "ok": 2, "ot": 1, "rt": 1e-3, "dim": 3,
+        "ref": (2463, 0.000113, 1703.2772575684)},
 }
 
 
 def main(row=1, max_steps=-1):
     cfg = ROWS[row]
-    f = Forest(2, (2, 2), (1.0, 1.0), max_depth=cfg["rs"])
+    dim = cfg["dim"]
+    f = Forest(dim, (2,) * dim, (1.0,) * dim, max_depth=cfg["rs"])
     # initial RefineAtVertex at the blast corner, rs times
     # (amr/laghos.cpp:199-209)
     # RefineAtVertex does NOT enforce 2:1 (no nc_limit): the initial

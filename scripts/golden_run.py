@@ -3,12 +3,26 @@
 
 Usage: python scripts/golden_run.py <row>   (1-9; runs to t_final and
 compares final step count, dt and |e| against the table)
+
+    SLAB_DEVICES=8 python scripts/golden_run.py <row>
+runs the same row through the structured-slab shard_map halo path on
+that many virtual CPU devices (np-invariance of the production
+multi-chip mode; rows on Cartesian meshes with PA only — row 5 is 1D
+full-assembly, which neither we nor the reference distribute with PA).
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SLAB = int(os.environ.get("SLAB_DEVICES", "0"))
+if SLAB:
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={SLAB}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
@@ -58,7 +72,12 @@ def run_row(row, verbose=True):
     h = Hydro(m, opt)
     print(f"row {row}: p{pb} {mesh_name} rs{rs} NE={m.num_elems} "
           f"ndof={h.ndof}")
-    res = driver.run(h, t_final=tf, vis_steps=50, verbose=verbose)
+    run_h = h
+    if SLAB:
+        from laghos_tpu.parallel.slab_hydro import SlabHydro
+
+        run_h = SlabHydro(h, n_devices=SLAB)
+    res = driver.run(run_h, t_final=tf, vis_steps=50, verbose=verbose)
     rel = abs(res.e_norm - ref_norm) / ref_norm
     ok = (res.steps == ref_step) and rel < 1e-9
     print(f"row {row}: steps {res.steps} (ref {ref_step}), "

@@ -126,6 +126,34 @@ def test_amr_transfer_exactness():
 
 
 @pytest.mark.slow
+def test_amr_distributed_matches_single_device():
+    """shard_amr over 8 virtual devices (GSPMD + per-event re-placement,
+    the Rebalance equivalent) must reproduce the single-device AMR
+    trajectory to roundoff."""
+    from laghos_tpu.amr.driver import run_amr
+    from laghos_tpu.amr.solver import AMRHydro
+    from laghos_tpu.parallel.sharding import device_mesh, shard_amr
+
+    def build():
+        f = Forest(2, (2, 2), (1.0, 1.0), max_depth=2)
+        for _ in range(2):
+            corner = [k for k in f.leaf_list()
+                      if all(v == 0 for v in k[1])]
+            f.refine(corner, balance=False)
+        opt = Options(problem=1, blast_energy=0.25, cg_tol=1e-12)
+        return AMRHydro(f, opt, h0=0.25)
+
+    h1 = build()
+    r1 = run_amr(h1, t_final=1.0, max_steps=25, vis_steps=1000)
+    h2 = build()
+    shard_amr(h2, device_mesh(8))
+    r2 = run_amr(h2, t_final=1.0, max_steps=25, vis_steps=1000)
+    assert r1["steps"] == r2["steps"]
+    assert r1["NE"] == r2["NE"]
+    assert np.isclose(r1["e_norm"], r2["e_norm"], rtol=1e-12)
+
+
+@pytest.mark.slow
 def test_amr_golden_row1_prefix():
     """Numeric regression gate on the amr/README row-1 configuration
     (60-step prefix): reference-semantics driver (RefineAtVertex initial
