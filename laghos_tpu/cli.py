@@ -75,6 +75,12 @@ def build_parser():
     p.add_argument("-nd", "--n-devices", type=int, default=1,
                    dest="n_devices",
                    help="shard the element axis over this many devices")
+    p.add_argument("-sfc", "--sfc-partition", action="store_true",
+                   dest="sfc",
+                   help="reorder elements along a Morton space-filling "
+                        "curve so equal contiguous chunks form the "
+                        "device partition (METIS-replacement for "
+                        "unstructured meshes with -nd)")
     p.add_argument("--halo", action="store_true", dest="halo",
                    help="with -nd: structured-slab shard_map distribution "
                         "(ppermute plane halos, psum dots, pmin dt — the "
@@ -138,6 +144,10 @@ def make_mesh(args):
             m = fmesh.uniform_refine(m)
     for _ in range(args.rp):
         m = fmesh.uniform_refine(m)
+    if getattr(args, "sfc", False):
+        from .parallel.partition import sfc_partition
+
+        m = sfc_partition(m)
     return m
 
 

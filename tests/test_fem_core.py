@@ -168,3 +168,44 @@ def test_mfem_mesh_roundtrip(tmp_path):
     np.testing.assert_array_equal(m2.elems, m.elems)
     np.testing.assert_allclose(m2.verts, m.verts)
     np.testing.assert_array_equal(m2.bdr_attr, m.bdr_attr)
+
+
+def test_sfc_partition_quality_and_equivalence():
+    """Morton SFC element reordering (parallel/partition.py, the METIS
+    replacement for unstructured meshes): contiguous chunks must cut far
+    fewer shared vertices than a scrambled order, and the reordered mesh
+    must produce the same physics (|e| after a few steps) to roundoff."""
+    import dataclasses
+    from collections import defaultdict
+
+    import numpy as np
+
+    from laghos_tpu import driver
+    from laghos_tpu.fem import mesh as fmesh
+    from laghos_tpu.hydro import Hydro, Options
+    from laghos_tpu.parallel.partition import sfc_partition
+
+    m = fmesh.cartesian(2, (2, 2), (1.0, 1.0))
+    for _ in range(3):
+        m = fmesh.uniform_refine(m)
+    rng = np.random.default_rng(7)
+    bad = dataclasses.replace(m, elems=m.elems[rng.permutation(m.num_elems)])
+    sfc = sfc_partition(bad)
+
+    def cut(mm, P=8):
+        parts = np.arange(mm.num_elems) * P // mm.num_elems
+        v2p = defaultdict(set)
+        for e, vs in enumerate(mm.elems):
+            for v in vs:
+                v2p[v].add(parts[e])
+        return sum(1 for ps in v2p.values() if len(ps) > 1)
+
+    assert cut(sfc) < cut(bad) / 3
+
+    opt = dict(problem=1, blast_energy=0.25, cg_tol=1e-12)
+    r1 = driver.run(Hydro(m, Options(**opt)), t_final=1.0, max_steps=5,
+                    verbose=False)
+    r2 = driver.run(Hydro(sfc, Options(**opt)), t_final=1.0, max_steps=5,
+                    verbose=False)
+    assert r1.steps == r2.steps
+    assert abs(r1.e_norm - r2.e_norm) / r1.e_norm < 1e-11
