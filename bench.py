@@ -71,7 +71,10 @@ def main():
 
     rs = int(os.environ.get("BENCH_RS", "4"))
     warm_steps = int(os.environ.get("BENCH_STEPS", "30"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # dispatch through the axon tunnel costs ~25-30 ms per program
+    # launch; 50-iteration on-device loops keep that overhead under 2%%
+    # of every phase measurement
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
     dts = os.environ.get("BENCH_DTYPE", "f32")
     ok = int(os.environ.get("BENCH_OK", "2"))   # Q2-Q1 or Q4-Q3 (BASELINE)
     ot = int(os.environ.get("BENCH_OT", str(ok - 1)))

@@ -212,11 +212,21 @@ class AMRHydro:
         diag_t[diag_t == 0.0] = 1.0
         ctx["h1_dinv"] = jnp.asarray(1.0 / diag_t, self.dtype)
         self.ctx = ctx
+        caps = (cap_ne, cap_nn, cap_nt, cap_ns, W)
         self.cap_ne, self.cap_nn, self.cap_nt = cap_ne, cap_nn, cap_nt
         eps = np.finfo(np.float64).eps
         self.ftz_eps2 = eps * eps
-        if not hasattr(self, "_advance_jit"):
+        # rebuild the jit wrapper whenever any static capacity changes:
+        # the old-capacity executables can never be called again, and
+        # keeping every historical specialization alive exhausts host
+        # memory on long AMR runs (LLVM 'Cannot allocate memory' during
+        # the ~30th retrace)
+        if getattr(self, "_jit_caps", None) != caps:
+            self._jit_caps = caps
             self._advance_jit = jax.jit(self._advance_impl)
+            import gc
+
+            gc.collect()
 
     def advance(self, S, dt, count_stage1=False):
         return self._advance_jit(S, jnp.asarray(dt, self.dtype),

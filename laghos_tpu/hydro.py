@@ -81,6 +81,14 @@ class Options:
                                   # iterations than jacobi (GLL mass is
                                   # already near-diagonal); kept as an
                                   # option, not recommended.
+    lattice_ops: bool = True      # whole-lattice banded-matmul mass
+                                  # apply on raster Cartesian meshes
+                                  # (ops/lattice.py): the CG operator
+                                  # becomes 6 dense dot_generals + one
+                                  # multiply — no gather/scatter/E-form.
+                                  # ~10x the FLOPs of sum-factorization
+                                  # but pure MXU work; auto-falls back
+                                  # off raster meshes.
     cg_warm_start: bool = False   # warm-start the stage-k mass solves
                                   # from the stage-(k-1) accelerations
                                   # (same convergence target as a cold
@@ -289,6 +297,24 @@ class Hydro:
             jnp.asarray(self.Jac0inv[..., a, b], dtype)
             for a in range(3) for b in range(3)) if self._sJ9 else None
         self.one_l2 = jnp.ones((NE, self.ld), dtype)
+
+        # whole-lattice banded-matmul operators (raster meshes only;
+        # ozaki mode keeps its int8-MXU mass path)
+        self._lat = None
+        self._lat_dims = None
+        if (opt.lattice_ops and self.p_assembly and not opt.ozaki
+                and d > 1):
+            from .ops import lattice as lop
+
+            built = lop.build_lattice_ops(self)
+            if built is not None:
+                self._lat_dims = built.pop("lat_dims")
+                self._lat = built
+        # full lattice pipeline (qupdate gradients + force pair as
+        # banded matmuls) — 3D, non-pallas, non-dense variants
+        self._edims = None if self._lat is None else self._sm.dims
+        self._latq = (self._lat is not None and d == 3
+                      and "Tg" in self._lat and not opt.dense_ops)
         eps = np.finfo(np.float64).eps
         self.ftz_eps2 = eps * eps
 
@@ -408,6 +434,20 @@ class Hydro:
     # -------------------------------------------------- jitted pieces ----
     def _qupdate(self, S):
         d = self.dim
+        if self._latq:
+            # whole-lattice qupdate: banded-matmul gradients straight
+            # from the raster L-vectors (no gather, no E-form)
+            from .ops import lattice as lop
+
+            return lop.qupdate3d_lattice(
+                S["x"], S["v"], S["e"], self._lat, self._lat_dims,
+                self._edims, self.tables,
+                h1order=float(self.opt.order_v), cfl=self.opt.cfl,
+                use_viscosity=self.use_visc,
+                use_vorticity=self.use_vort,
+                pallas=(self.opt.use_pallas and self.use_visc
+                        and self.dtype == jnp.float32),
+                h0=self.h0)
         x_e = self._gather_e(S["x"])
         v_e = self._gather_e(S["v"])
         if self._sJ9:
@@ -446,6 +486,14 @@ class Hydro:
         """F . 1 assembled to the H1 L-vector (the sw_force-timed part of
         SolveVelocity, laghos_solver.cpp:354)."""
         d = self.dim
+        if isinstance(sJit, tuple) and sJit[0].ndim == 3:
+            # q-lattice stress: reverse banded chains assemble the
+            # L-vector directly (F . 1; the L2 "ones" evaluate to 1)
+            from .ops import lattice as lop
+
+            y = lop.force_one_lattice(sJit, self._lat["Ts"],
+                                      self._lat["Tg"]).reshape(d, -1)
+            return jnp.where(jnp.abs(y) < self.ftz_eps2, 0.0, y)
         if isinstance(sJit, tuple):
             if self.oz is not None:
                 Fone = fop.force_mult9_oz(self.one_l2, sJit,
@@ -468,6 +516,12 @@ class Hydro:
 
     def _h1_apply_bc(self, u):
         d = self.dim
+        if self._lat is not None:
+            from .ops import lattice as lop
+
+            y = lop.mass_apply_lattice(u, self._lat["Ts"],
+                                       self._lat["Dq"], self._lat_dims)
+            return jnp.where(self.ess_mask_j, 0.0, y)
         ue = jnp.swapaxes(self._gather_e(u), 0, 1)
         ue = mop.mass_apply_e(ue, self.massD, self.tables["H1B"], d,
                               Bd=self.tables.get("H1Bd"),
@@ -533,6 +587,12 @@ class Hydro:
 
     def _force_transpose(self, sJit, v):
         d = self.dim
+        if isinstance(sJit, tuple) and sJit[0].ndim == 3:
+            from .ops import lattice as lop
+
+            return lop.force_transpose_lattice(
+                v, sJit, self._lat, self._lat_dims, self._edims,
+                self.tables)
         v_e = self._gather_e(v)
         if isinstance(sJit, tuple):
             if self.oz is not None:
@@ -788,7 +848,8 @@ class Hydro:
     # up unchanged; outside tracing the attributes hold the real arrays.
     _CTX_NAMES = ("gather", "_inc", "_incmask", "massD", "h1_dinv",
                   "_schwarz", "Me_inv", "rt_rhs", "ess_mask_j", "gamma_j",
-                  "rho0DetJ0w_j", "Jac0inv_j", "Jac0inv9_j", "one_l2")
+                  "rho0DetJ0w_j", "Jac0inv_j", "Jac0inv9_j", "one_l2",
+                  "_lat")
 
     def _ctx(self):
         return {k: getattr(self, k, None) for k in self._CTX_NAMES}

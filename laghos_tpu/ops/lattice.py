@@ -1,0 +1,285 @@
+"""Whole-lattice banded-operator contractions on raster Cartesian meshes.
+
+On a raster-renumbered Cartesian mesh the H1 L-vector IS a dense
+(Lz, Ly, Lx) lattice (x fastest), L = n*p + 1 per axis.  The per-axis
+dof->qpoint evaluation is then one BANDED matrix T (L, n*nq) with
+T[e*p + a, e*nq + q] = B1d[q, a] — the element overlap (shared boundary
+nodes) lands in distinct columns, and the transpose T^T performs the
+scatter-add across elements implicitly.  A full PA mass apply becomes
+
+    y = Tz' Ty' Tx' ( D  *  Tx Ty Tz u )        (6 dot_generals + 1 mul)
+
+with NO gather, NO scatter, NO E-form intermediates.  This trades ~10x
+more FLOPs for pure MXU work: the TPU has two orders of magnitude more
+matmul throughput than HBM bandwidth or vector-shuffle throughput, so
+the banded-dense form beats the sum-factorized gather/scatter pipeline
+at production sizes (measured; see STATUS.md).  Reference counterpart:
+the MassPAOperator apply chain (laghos_assembly.cpp:145-514).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def banded_eval_table(B1d: np.ndarray, n: int) -> np.ndarray:
+    """(L, Q) banded dof->qpoint table for n elements along one axis.
+
+    B1d: (nq, p+1) 1D basis values at the element quadrature points.
+    """
+    nq, nd1 = B1d.shape
+    p = nd1 - 1
+    L, Q = n * p + 1, n * nq
+    T = np.zeros((L, Q))
+    for e in range(n):
+        for a in range(nd1):
+            T[e * p + a, e * nq:(e + 1) * nq] = B1d[:, a]
+    return T
+
+
+def qlattice_weights(w_eq: np.ndarray, dims: tuple, nq1: int) -> np.ndarray:
+    """Per-element qpoint weights (NE, nq1**d), raster element order,
+    lex qpoint order -> dense q-lattice (Qz, Qy, Qx) (or 2D/1D)."""
+    d = len(dims)
+    NE = int(np.prod(dims))
+    out = w_eq.reshape(tuple(reversed(dims)) + (nq1,) * d)
+    # axes now (ez, ey, ex, qz?, ...): qpoint lex order is x fastest ->
+    # (q_last=x ... q_first=z); interleave element and intra-element axes
+    # per dimension: target (ez, qz, ey, qy, ex, qx)
+    src = list(range(2 * d))
+    # current order: e_rev (d axes, z..x) then q axes (z..x? lex x-fastest
+    # means LAST q axis is x when reshaped (nq1,)*d in C order with x
+    # fastest -> axes are (qz, qy, qx) if the flat index is
+    # qz*nq^2 + qy*nq + qx; our W/lex order is x fastest: flat =
+    # qx + nq*qy + nq^2*qz -> reshape (nq,)*d gives (qz, qy, qx). OK.)
+    perm = []
+    for k in range(d):
+        perm += [k, d + k]
+    out = np.transpose(out, perm)
+    shape = tuple(dims[d - 1 - k] * nq1 for k in range(d))
+    return out.reshape(shape)
+
+
+def mass_apply_lattice(uL, Ts, Dq, lat_dims):
+    """PA mass apply on the raster lattice.
+
+    uL: (C, ndof) raster-numbered L-vector; Ts: per-axis banded tables
+    ordered (z, y, x) as jnp arrays; Dq: dense q-lattice weights
+    (rho0DetJ0w at qpoints); lat_dims: (Lz, Ly, Lx).
+    Returns (C, ndof).
+    """
+    C = uL.shape[0]
+    d = len(lat_dims)
+    u = uL.reshape((C,) + tuple(lat_dims))
+    q = u
+    # forward: contract lattice axis k with T_k (L_k, Q_k)
+    for k in range(d):
+        ax = 1 + k
+        q = jnp.moveaxis(
+            jnp.tensordot(q, Ts[k], axes=[[ax], [0]]), -1, ax)
+    q = q * Dq[None]
+    for k in range(d):
+        ax = 1 + k
+        q = jnp.moveaxis(
+            jnp.tensordot(q, Ts[k], axes=[[ax], [1]]), -1, ax)
+    return q.reshape(C, -1)
+
+
+def banded_grad_table(G1d: np.ndarray, n: int) -> np.ndarray:
+    """(L, Q) banded dof->qpoint DERIVATIVE table (same layout as
+    banded_eval_table with the 1D gradient basis)."""
+    return banded_eval_table(G1d, n)
+
+
+def _contract(q, T, ax, side):
+    """Contract lattice axis `ax` with T; side 0 = forward (L->Q),
+    side 1 = transpose (Q->L)."""
+    return jnp.moveaxis(jnp.tensordot(q, T, axes=[[ax], [side]]), -1, ax)
+
+
+def grad9_lattice(u3, TB, TG):
+    """All nine first derivatives of a vector lattice field.
+
+    u3: (3, Lz, Ly, Lx); TB/TG: per-axis (z, y, x) banded value/gradient
+    tables.  Returns tuple J[a*3+b] = d u_a / d xi_b on the q-lattice,
+    sharing the partial contractions (8 matmuls per component)."""
+    out = []
+    for a in range(3):
+        u = u3[a]
+        tzB = jnp.tensordot(u, TB[0], axes=[[0], [0]])   # (y, x, Qz)
+        tzG = jnp.tensordot(u, TG[0], axes=[[0], [0]])
+        # contract y (axis 0 now), keep (x, Qz, Qy)
+        tBB = jnp.tensordot(tzB, TB[1], axes=[[0], [0]])  # (x, Qz, Qy)
+        tBG = jnp.tensordot(tzB, TG[1], axes=[[0], [0]])
+        tGB = jnp.tensordot(tzG, TB[1], axes=[[0], [0]])
+        # contract x (axis 0), output (Qz, Qy, Qx)
+        d_x = jnp.tensordot(tBB, TG[2], axes=[[0], [0]])
+        d_y = jnp.tensordot(tBG, TB[2], axes=[[0], [0]])
+        d_z = jnp.tensordot(tGB, TB[2], axes=[[0], [0]])
+        # order J[a*3+b] = d u_a / d xi_b with b=0 the x direction
+        # (matching ops/tensor.eval_gradient_dir's convention)
+        out += [d_x, d_y, d_z]
+    return tuple(out)
+
+
+def force_one_lattice(sJ, TB, TG):
+    """(F . 1) on the H1 lattice from q-lattice stress data.
+
+    sJ: 9-tuple q-lattice sJit[gd*3+vd] (gd = reference direction,
+    vd = velocity component; see ops/qphys._finish).  Returns
+    (3, Lz, Ly, Lx): y[vd] = sum_gd chain_gd^T sJ[gd*3+vd]."""
+    ys = []
+    for vd in range(3):
+        acc = None
+        for gd in range(3):
+            s = sJ[gd * 3 + vd]
+            # reverse chain: gradient table on axis gd (x-fastest
+            # convention: gd=0 -> x axis = lattice axis 2)
+            Tz = TG[0] if gd == 2 else TB[0]
+            Ty = TG[1] if gd == 1 else TB[1]
+            Tx = TG[2] if gd == 0 else TB[2]
+            t = jnp.tensordot(s, Tz, axes=[[0], [1]])    # (Qy, Qx, Lz)
+            t = jnp.tensordot(t, Ty, axes=[[0], [1]])    # (Qx, Lz, Ly)
+            t = jnp.tensordot(t, Tx, axes=[[0], [1]])    # (Lz, Ly, Lx)
+            acc = t if acc is None else acc + t
+        ys.append(acc)
+    return jnp.stack(ys, axis=0)
+
+
+def qlattice_to_eq(q, dims, nq1):
+    """Dense q-lattice (Qz, Qy, Qx) -> per-element (NE, NQ) (raster
+    element order, lex qpoint order)."""
+    nz, ny, nx = dims[2], dims[1], dims[0]
+    t = q.reshape(nz, nq1, ny, nq1, nx, nq1)
+    t = jnp.transpose(t, (0, 2, 4, 1, 3, 5))
+    return t.reshape(nz * ny * nx, nq1 ** 3)
+
+
+def eq_to_qlattice(x, dims, nq1):
+    """Per-element (NE, NQ) -> dense q-lattice (Qz, Qy, Qx)."""
+    nz, ny, nx = dims[2], dims[1], dims[0]
+    t = x.reshape(nz, ny, nx, nq1, nq1, nq1)
+    t = jnp.transpose(t, (0, 3, 1, 4, 2, 5))
+    return t.reshape(nz * nq1, ny * nq1, nx * nq1)
+
+
+def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
+                      h1order, cfl, use_viscosity, use_vorticity,
+                      pallas=False, h0=None, interpret=False):
+    """Whole-lattice 3D qupdate: banded-matmul gradients feeding the
+    scalarized pointwise physics (ops/qphys.py) on q-lattice arrays.
+
+    xL/vL: (3, ndof) raster L-vectors; e_b: (NE, ld) L2 dofs; lat: the
+    precomputed lattice ctx (tables + q-lattice qdata).  Returns
+    (sJit9 q-lattice tuple, dt_est).
+    """
+    from . import qphys
+    from . import tensor
+
+    nq1 = tables["H1B"].shape[0]
+    l1d = tables["L2B"].shape[1]
+    TB, TG = lat["Ts"], lat["Tg"]
+    x3 = xL.reshape((3,) + tuple(lat_dims))
+    v3 = vL.reshape((3,) + tuple(lat_dims))
+    J9 = grad9_lattice(x3, TB, TG)
+    # L2 energy stays per-element (discontinuous); rearrange to lattice
+    et = e_b.reshape((e_b.shape[0],) + (l1d,) * 3)
+    e_q = tensor.eval_values(et, tables["L2B"], 3).reshape(
+        e_b.shape[0], nq1 ** 3)
+    e_q = eq_to_qlattice(e_q, edims, nq1)
+    if not use_viscosity:
+        zero9 = tuple(jnp.zeros_like(e_q) for _ in range(9))
+        sJit9, dtq, _ = qphys.physics_3d(
+            J9, zero9, lat["J0i9"], e_q, lat["rw"], lat["gam"],
+            lat["winv"], h0_e=lat["h0e"], h1order=h1order, cfl=cfl,
+            use_viscosity=False, use_vorticity=False)
+    elif pallas:
+        # fused Pallas VPU physics on the dense q-lattice (reshaped to
+        # 2D tiles; the q-lattice needs no packing gather)
+        from . import pallas_qphys
+
+        Q = e_q.shape
+        r2 = lambda a: a.reshape(Q[0] * Q[1], Q[2])  # noqa: E731
+        dV9 = grad9_lattice(v3, TB, TG)
+        sJit9, dtq, _ = pallas_qphys.physics_3d_pallas9(
+            tuple(r2(a) for a in J9), tuple(r2(a) for a in dV9),
+            tuple(r2(a) for a in lat["J0i9"]), r2(e_q), r2(lat["rw"]),
+            r2(lat["gam"]), h0=h0, h1order=h1order, cfl=cfl,
+            use_vorticity=use_vorticity, winv=r2(lat["winv"]),
+            interpret=interpret)
+        sJit9 = tuple(a.reshape(Q) for a in sJit9)
+    else:
+        dV9 = grad9_lattice(v3, TB, TG)
+        sJit9, dtq, _ = qphys.physics_3d(
+            J9, dV9, lat["J0i9"], e_q, lat["rw"], lat["gam"],
+            lat["winv"], h0_e=lat["h0e"], h1order=h1order, cfl=cfl,
+            use_vorticity=use_vorticity)
+    return sJit9, jnp.min(dtq)
+
+
+def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables):
+    """F^T . v from q-lattice stress data: e_rhs (NE, ld)."""
+    from . import tensor
+
+    nq1 = tables["H1B"].shape[0]
+    v3 = vL.reshape((3,) + tuple(lat_dims))
+    dV9 = grad9_lattice(v3, lat["Ts"], lat["Tg"])
+    eq = None
+    for gd in range(3):
+        for vd in range(3):
+            term = dV9[vd * 3 + gd] * sJ[gd * 3 + vd]
+            eq = term if eq is None else eq + term
+    eq = qlattice_to_eq(eq, edims, nq1)
+    et = eq.reshape((eq.shape[0],) + (nq1,) * 3)
+    out = tensor.eval_transpose(et, tables["L2B"].T, 3)
+    return out.reshape(eq.shape[0], -1)
+
+
+def build_lattice_ops(hydro):
+    """Precompute banded tables + q-lattice weights for a Hydro on a
+    raster mesh; returns dict or None if the mesh is not raster."""
+    sm = getattr(hydro, "_sm", None)
+    if sm is None or not sm.identity_perm:
+        return None
+    dims = sm.dims                  # elements per axis, x-fastest order?
+    d = len(dims)
+    B = np.asarray(hydro.tables["H1B"], dtype=np.float64)
+    # dims from StructMaps are (nx, ny, nz) x-first; lattice axes are
+    # (z, y, x) in the raster numbering (x fastest)
+    n_zyx = tuple(reversed(dims))
+    Ts = tuple(
+        jnp.asarray(banded_eval_table(B, n), hydro.dtype)
+        for n in n_zyx)
+    Dq = qlattice_weights(np.asarray(hydro.massD, dtype=np.float64),
+                          dims, hydro.nq1)
+    lat_dims = tuple(n * hydro.opt.order_v + 1 for n in n_zyx)
+    out = {
+        "Ts": Ts,
+        "Dq": jnp.asarray(Dq, hydro.dtype),
+        "lat_dims": lat_dims,
+    }
+    if d == 3:
+        # full lattice qupdate/force pipeline (3D only): gradient tables
+        # + every per-qpoint constant re-arranged onto the q-lattice
+        G = np.asarray(hydro.tables["H1G"], dtype=np.float64)
+        nq1 = hydro.nq1
+        NE, NQ = hydro.NE, hydro.NQ
+        W = np.asarray(hydro.tables["W"], dtype=np.float64)
+        ql = lambda a: jnp.asarray(  # noqa: E731
+            qlattice_weights(np.asarray(a, dtype=np.float64), dims, nq1),
+            hydro.dtype)
+        out["Tg"] = tuple(
+            jnp.asarray(banded_grad_table(G, n), hydro.dtype)
+            for n in n_zyx)
+        out["rw"] = ql(hydro.rho0DetJ0w)
+        out["gam"] = ql(np.broadcast_to(
+            np.asarray(hydro.gamma_j, dtype=np.float64)[:, None],
+            (NE, NQ)))
+        out["winv"] = ql(np.broadcast_to(1.0 / W[None, :], (NE, NQ)))
+        out["h0e"] = ql(np.full((NE, NQ), float(hydro.h0)))
+        out["J0i9"] = tuple(
+            ql(hydro.Jac0inv[..., a, b])
+            for a in range(3) for b in range(3))
+    return out

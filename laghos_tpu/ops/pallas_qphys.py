@@ -112,9 +112,9 @@ def physics_3d_pallas(J, dV, J0i, e_q, rw, gamma, W, *, h0, h1order, cfl,
             visc.reshape(-1)[:N].reshape(NE, NQ))
 
 
-def physics_3d_pallas9(J9, dV9, J0i9, e_q, rw, gamma, W, *, h0, h1order,
-                       cfl, use_vorticity=False, hard_visc=False,
-                       interpret=False):
+def physics_3d_pallas9(J9, dV9, J0i9, e_q, rw, gamma, W=None, *, h0,
+                       h1order, cfl, use_vorticity=False, hard_visc=False,
+                       interpret=False, winv=None):
     """Component-tuple variant: J9/dV9/J0i9 are 9-tuples of (NE, NQ);
     gamma broadcastable to (NE, NQ).  Returns (sJit 9-tuple of (NE, NQ),
     dtq, visc) — no trailing (3, 3) matrix dims anywhere (TPU layouts
@@ -139,7 +139,8 @@ def physics_3d_pallas9(J9, dV9, J0i9, e_q, rw, gamma, W, *, h0, h1order,
     Jp = pack9t(J9)
     dVp = pack9t(dV9)
     J0ip = pack9t(J0i9)
-    winv = jnp.broadcast_to((1.0 / W)[None, :], (NE, NQ))
+    if winv is None:
+        winv = jnp.broadcast_to((1.0 / W)[None, :], (NE, NQ))
     Sp = jnp.stack([pack1(e_q), pack1(rw), pack1(winv),
                     pack1(gamma, fill=1.4)], axis=0)
     eye = jnp.zeros((9, Mp, 128), dtype)

@@ -1,8 +1,10 @@
-"""shard_map domain decomposition with structured nearest-neighbor halos.
+"""Generic owned-dof halo layout for slab domain decompositions.
 
-The perf-grade TPU distribution (SURVEY §2.4.1 / §2.5): elements are
-partitioned into contiguous slabs over a 1D device axis; every per-element
-kernel runs on purely local data; the only communication is
+The PRODUCTION multi-chip mode is `parallel/slab_hydro.py` (structured
+plane-slice halos with identity local transforms).  This module keeps
+the generic dof-ownership layout (owned/ghost partition, exchange plan,
+global gather/scatter) that an UNSTRUCTURED-mesh halo build uses; the
+communication pattern is the same either way:
 
   * a `ppermute` exchange of interface-dof contributions after each H1
     scatter-add (the reference's MPI halo exchange through the

@@ -1,4 +1,9 @@
-"""shard_map halo distribution vs the single-program conforming solve."""
+"""Generic owned-dof halo layout (parallel/halo.py).
+
+The production multi-chip mode is the structured-slab path
+(parallel/slab_hydro.py, tests/test_slab.py); halo.py keeps the generic
+dof-ownership layout machinery that an unstructured-mesh halo build
+would use."""
 
 import jax
 import numpy as np
@@ -29,36 +34,3 @@ def test_layout_partitions():
     ul = halo.scatter_global(lay, u)
     back = halo.gather_global(lay, ul, h.ndof)
     np.testing.assert_allclose(back, u)
-
-
-def test_halo_advance_matches_conforming():
-    from laghos_tpu.parallel.halo_hydro import HaloHydro
-
-    h = _hydro3d()
-    hh = HaloHydro(h, n_devices=4)
-    dt = float(h.dt_estimate(h.S0))
-
-    S1, est1, _, _ = h.advance(h.S0, dt)
-    S2, est2 = hh.advance(hh.S0, dt)
-    assert np.isclose(float(est1), float(est2), rtol=1e-10)
-
-    e1 = float(np.sqrt((np.asarray(S1["e"]) ** 2).sum()))
-    e2 = hh.e_norm(S2)
-    assert np.isclose(e1, e2, rtol=1e-11)
-
-    # velocity comparison on the global dofs
-    v2 = halo.gather_global(hh.layout, np.asarray(S2["v"]), h.ndof)
-    np.testing.assert_allclose(np.asarray(S1["v"]), v2, atol=1e-10)
-
-
-def test_halo_multi_step():
-    from laghos_tpu.parallel.halo_hydro import HaloHydro
-
-    h = _hydro3d()
-    hh = HaloHydro(h, n_devices=4)
-    from laghos_tpu import driver
-
-    res = driver.run(h, t_final=0.6, max_steps=4, vis_steps=1)
-    S, t, steps = hh.run(0.6, max_steps=4)
-    assert steps == res.steps
-    assert np.isclose(res.e_norm, hh.e_norm(S), rtol=1e-11)

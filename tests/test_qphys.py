@@ -42,6 +42,11 @@ def test_qphys_matches_qupdate():
     h, S = _setup()
     sJit_ref, dt_ref = h._qupdate(S)
     if isinstance(sJit_ref, tuple):   # scalarized 3D path returns 9-tuple
+        if sJit_ref[0].ndim == 3:     # whole-lattice path: q-lattice shape
+            from laghos_tpu.ops import lattice as lop
+
+            sJit_ref = tuple(lop.qlattice_to_eq(a, h._edims, h.nq1)
+                             for a in sJit_ref)
         sJit_ref = jnp.stack(sJit_ref, axis=-1).reshape(
             h.NE, h.NQ, 3, 3)
 
@@ -70,6 +75,11 @@ def test_pallas_qphys_interpret():
     h, S = _setup()
     sJit_ref, dt_ref = h._qupdate(S)
     if isinstance(sJit_ref, tuple):   # scalarized 3D path returns 9-tuple
+        if sJit_ref[0].ndim == 3:     # whole-lattice path: q-lattice shape
+            from laghos_tpu.ops import lattice as lop
+
+            sJit_ref = tuple(lop.qlattice_to_eq(a, h._edims, h.nq1)
+                             for a in sJit_ref)
         sJit_ref = jnp.stack(sJit_ref, axis=-1).reshape(
             h.NE, h.NQ, 3, 3)
     J, dV, e_q = _fields(h, S)
@@ -120,5 +130,9 @@ def test_qupdate3d_inviscid_matches_generic():
         h1order=float(h.opt.order_v), cfl=h.opt.cfl,
         use_viscosity=False, use_vorticity=False)
     assert np.isclose(float(dt9), float(dt_old), rtol=1e-13)
+    if sj9[0].ndim == 3:              # whole-lattice path: q-lattice shape
+        from laghos_tpu.ops import lattice as lop
+
+        sj9 = tuple(lop.qlattice_to_eq(a, h._edims, h.nq1) for a in sj9)
     s9 = jnp.stack(sj9, axis=-1).reshape(h.NE, h.NQ, 3, 3)
     assert np.abs(np.asarray(s9) - np.asarray(sj)).max() < 1e-13
