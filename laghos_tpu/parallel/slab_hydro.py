@@ -123,12 +123,58 @@ class SlabHydro:
             "v": jnp.asarray(slice_dofs(h.S0["v"]), dt),
             "e": jnp.asarray(split_elems(h.S0["e"]), dt),
         }
+
+        # per-slab whole-lattice operators (ops/lattice.py): each slab is
+        # itself a raster lattice, so the banded-matmul compute path
+        # applies locally with the SAME plane halo exchange — multi-chip
+        # inherits the full single-chip kernel work
+        self.lat = None
+        if getattr(h, "_latq", False):
+            from ..ops import lattice as lop
+
+            nq1 = h.nq1
+            n_zyx = tuple(reversed(self.dims_loc))
+            self.lat_TB = tuple(
+                jnp.asarray(lop.banded_eval_table(
+                    np.asarray(h.tables["H1B"], np.float64), n), dt)
+                for n in n_zyx)
+            self.lat_TG = tuple(
+                jnp.asarray(lop.banded_grad_table(
+                    np.asarray(h.tables["H1G"], np.float64), n), dt)
+                for n in n_zyx)
+            self.lat_dims_loc = tuple(
+                n * p + 1 for n in n_zyx)
+
+            def ql_split(A):
+                A = np.asarray(A, np.float64).reshape(D, self.nel_loc, -1)
+                return np.stack([
+                    lop.qlattice_weights(A[k], self.dims_loc, nq1)
+                    for k in range(D)])
+
+            NEl, NQ = self.nel_loc, h.NQ
+            W = np.asarray(h.tables["W"], np.float64)
+            self.lat_Dq_l = jnp.asarray(ql_split(h.massD), dt)
+            self.lat_rw_l = jnp.asarray(ql_split(h.rho0DetJ0w_j), dt)
+            self.lat_gam_l = jnp.asarray(ql_split(np.broadcast_to(
+                np.asarray(h.gamma_j, np.float64)[:, None],
+                (h.NE, NQ))), dt)
+            self.lat_winv_l = jnp.asarray(ql_split(np.broadcast_to(
+                1.0 / W[None, :], (h.NE, NQ))), dt)
+            self.lat_h0e_l = jnp.asarray(ql_split(np.full(
+                (h.NE, NQ), float(h.h0))), dt)
+            self.lat_J0i_l = jnp.asarray(np.stack(
+                [ql_split(h.Jac0inv[..., a, b])
+                 for a in range(3) for b in range(3)], axis=1), dt)
+            self.lat = True
         self._place()
         self._advance_cache = {}
         self._estimate = None
         self._energies = None
 
     # ------------------------------------------------------------------
+    _LAT_CONSTS = ("lat_Dq_l", "lat_rw_l", "lat_gam_l", "lat_winv_l",
+                   "lat_h0e_l", "lat_J0i_l")
+
     def _place(self):
         sh = NamedSharding(self.mesh, P(AXIS))
         put = partial(jax.device_put, device=sh)
@@ -137,6 +183,9 @@ class SlabHydro:
             setattr(self, name, put(getattr(self, name)))
         if self.rt_l is not None:
             self.rt_l = put(self.rt_l)
+        if self.lat is not None:
+            for name in self._LAT_CONSTS:
+                setattr(self, name, put(getattr(self, name)))
         self.S0 = {k: put(v) for k, v in self.S0.items()}
 
     def _consts(self):
@@ -144,6 +193,8 @@ class SlabHydro:
              self.J0i_l, self.ess_l, self.dinv_l]
         if self.rt_l is not None:
             c.append(self.rt_l)
+        if self.lat is not None:
+            c += [getattr(self, n) for n in self._LAT_CONSTS]
         return tuple(c)
 
     # ---------------- per-device operator set (runs under shard_map) ---
@@ -154,11 +205,19 @@ class SlabHydro:
         d = h.dim
         opt = h.opt
         plane = self.plane
+        consts = list(consts)
+        (massD, rw, gamma, one_l2, J0i, ess, dinv) = consts[:7]
+        k = 7
+        rt = None
         if self.rt_l is not None:
-            (massD, rw, gamma, one_l2, J0i, ess, dinv, rt) = consts
-        else:
-            (massD, rw, gamma, one_l2, J0i, ess, dinv) = consts
-            rt = None
+            rt = consts[k]
+            k += 1
+        lat = None
+        if self.lat is not None:
+            (Dq, lrw, lgam, lwinv, lh0e, lJ0i) = consts[k:k + 6]
+            lat = {"Ts": self.lat_TB, "Tg": self.lat_TG, "Dq": Dq,
+                   "rw": lrw, "gam": lgam, "winv": lwinv, "h0e": lh0e,
+                   "J0i9": tuple(lJ0i[a] for a in range(9))}
         sm = self.sm_loc
         nloc = self.nloc
 
@@ -288,6 +347,40 @@ class SlabHydro:
                      x0=None if x0 is None else x0.reshape(1, -1))
             iters = jnp.maximum(res.iters[0], 1)
             return res.x.reshape(e_rhs.shape), iters
+
+        if lat is not None:
+            # whole-lattice per-slab operators (ops/lattice.py): same
+            # banded-matmul kernels as single-chip, same plane halos.
+            # Redefining these names rebinds the closures captured by
+            # solve_velocity/solve_energy above (late binding).
+            from ..ops import lattice as lop
+
+            ldims = self.lat_dims_loc
+            edims = self.dims_loc
+
+            def qupd(Sc):                                    # noqa: F811
+                sJit9, dtm = lop.qupdate3d_lattice(
+                    Sc["x"], Sc["v"], Sc["e"], lat, ldims, edims,
+                    h.tables, h1order=float(opt.order_v), cfl=opt.cfl,
+                    use_viscosity=h.use_visc,
+                    use_vorticity=h.use_vort, h0=h.h0)
+                return sJit9, jax.lax.pmin(dtm, AXIS)
+
+            def mass_apply(u):                               # noqa: F811
+                y = lop.mass_apply_lattice(u, self.lat_TB, lat["Dq"],
+                                           ldims)
+                y = halo_add(y)
+                return jnp.where(ess, 0.0, y)
+
+            def force_rhs(sJit):                             # noqa: F811
+                y = lop.force_one_lattice(
+                    sJit, self.lat_TB, self.lat_TG).reshape(d, -1)
+                y = halo_add(y)
+                return jnp.where(jnp.abs(y) < h.ftz_eps2, 0.0, y)
+
+            def force_T(sJit, v):                            # noqa: F811
+                return lop.force_transpose_lattice(
+                    v, sJit, lat, ldims, edims, h.tables)
 
         return dict(qupd=qupd, solve_velocity=solve_velocity,
                     solve_energy=solve_energy, owned=owned, edot=edot)
