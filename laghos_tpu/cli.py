@@ -94,6 +94,13 @@ def build_parser():
     p.add_argument("-dt", "--deref-threshold", type=float, default=0.75,
                    dest="deref_threshold",
                    help="AMR derefinement threshold (0 = no derefinement)")
+    p.add_argument("--device-loop", action="store_true", dest="device_loop",
+                   help="run the adaptive-dt control flow on device "
+                        "(lax.while_loop segments; one host sync per "
+                        "vis interval instead of per step — removes "
+                        "~25 ms/step of tunnel latency on TPU). Same "
+                        "math; f64 trajectories match the host loop "
+                        "exactly, f32 to compilation-rounding level.")
     p.add_argument("--dtype", default="f64", choices=["f64", "f32"])
     p.add_argument("--ozaki", action="store_true", dest="ozaki",
                    help="f64 TPU production mode: hot contractions as "
@@ -204,6 +211,19 @@ def main(argv=None):
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    # persistent compile cache (first full-step compile is 20-40 s on
+    # TPU, minutes at scale; cached reruns start in seconds)
+    try:
+        import os as _os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
@@ -301,7 +321,8 @@ def main(argv=None):
             vis_steps=args.vis_steps, verbose=True, timing=args.fom,
             S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
             checkpoint_path=args.checkpoint, check_steps=check_steps,
-            on_vis=on_vis)
+            on_vis=on_vis,
+            device_loop=(args.device_loop and run_h is h and not args.fom))
     if run_h is not h and res.S is not None:
         res = dataclasses.replace(res, S={
             k: jnp.asarray(v) for k, v in run_h.to_global(res.S).items()})

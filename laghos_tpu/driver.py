@@ -49,10 +49,18 @@ def run(
     dt_init: Optional[float] = None,
     step_init: int = 1,
     checkpoint_path: Optional[str] = None,
+    device_loop: bool = False,
 ) -> RunResult:
     S = hydro.S0 if S_init is None else S_init
     ie, ke = hydro.energies(S)
     energy_init = float(ie) + float(ke)
+
+    if device_loop:
+        return _run_device_loop(
+            hydro, S, energy_init, t_final, max_steps=max_steps,
+            vis_steps=vis_steps, on_vis=on_vis, check_steps=check_steps,
+            verbose=verbose, t_init=t_init, dt_init=dt_init,
+            step_init=step_init, checkpoint_path=checkpoint_path)
 
     t = t_init
     if dt_init is not None:
@@ -143,5 +151,80 @@ def run(
         norms=norms,
         timings={"total": wall},
         timing_data=tim,
+        S=S,
+    )
+
+
+def _run_device_loop(
+    hydro, S, energy_init, t_final, *, max_steps, vis_steps, on_vis,
+    check_steps, verbose, t_init, dt_init, step_init, checkpoint_path,
+) -> RunResult:
+    """Adaptive-dt loop with the control flow ON DEVICE
+    (Hydro.run_segment): one host sync per vis/checkpoint pause instead
+    of per step.  Produces the same trajectory, step numbering, and
+    printed lines as the host loop (bitwise-identical math; rejected
+    steps are summarized per segment rather than printed live)."""
+    import numpy as np
+
+    t = t_init
+    if dt_init is not None:
+        dt = float(dt_init)
+        sJit, _ = hydro._jq(S)          # rebuild memoized stage-1 qdata
+        count_stage1 = True             # its dt must count on resume
+    else:
+        dt0, sJit = hydro.dt_estimate_full(S)
+        dt = float(dt0)
+        count_stage1 = False
+    ti = step_init
+    steps = 0
+    h1_iters = 0
+    l2_iters = 0
+    norms = {}
+    chk = np.asarray(sorted(check_steps) or [-1], dtype=np.int32)
+    t0w = time.perf_counter()
+    while True:
+        (S, tj, dtj, tij, stepsj, sJit, cs1, done, crashed, h1a, l2a,
+         _) = hydro.run_segment(
+            S, t, dt, ti, steps, sJit, count_stage1, t_final,
+            max_steps, vis_steps, chk)
+        t, dt = float(tj), float(dtj)
+        ti_new, steps = int(tij), int(stepsj)
+        count_stage1 = bool(cs1)
+        h1_iters += int(h1a)
+        l2_iters += int(l2a)
+        if bool(crashed):
+            raise RuntimeError("The time step crashed!")
+        paused_ti = ti_new - 1          # the accepted step that paused
+        if ti_new > ti and (bool(done) or paused_ti % vis_steps == 0
+                            or paused_ti in check_steps):
+            en = hydro.e_norm(S)
+            norms[paused_ti] = en
+            if verbose:
+                print(f"step {paused_ti:5d},\tt = {t:.4f},"
+                      f"\tdt = {dt:.6f},\t|e| = {en:.10e}")
+            if on_vis is not None:
+                on_vis(paused_ti, t, S)
+            if checkpoint_path is not None:
+                from . import checkpoint
+
+                checkpoint.save(checkpoint_path, S, t, dt, paused_ti)
+        ti = ti_new
+        if bool(done):
+            break
+    wall = time.perf_counter() - t0w
+    ie, ke = hydro.energies(S)
+    return RunResult(
+        steps=ti - 1,
+        t=t,
+        dt=dt,
+        e_norm=hydro.e_norm(S),
+        energy_init=energy_init,
+        energy_final=float(ie) + float(ke),
+        h1_iters=h1_iters,
+        l2_iters=l2_iters,
+        quad_steps=(ti - 1) * hydro.NE,
+        norms=norms,
+        timings={"total": wall},
+        timing_data=None,
         S=S,
     )

@@ -878,6 +878,91 @@ class Hydro:
 
         return call
 
+    # --------------------------------------- on-device adaptive loop -----
+    def _segment_impl(self, S, t, dt, ti, steps, sj, count_stage1,
+                      t_final, max_steps, vis_steps, chk):
+        """Run accepted steps ON DEVICE until the next vis/check pause
+        or the end of the run — the full adaptive-dt control flow of
+        laghos.cpp:741-790 (truncation, rejection with 0.85 backoff,
+        1.02 growth, the reference's exact last_step/rejection quirks)
+        as a lax.while_loop.  The host syncs one small scalar tuple per
+        SEGMENT instead of per step (~25 ms tunnel latency per sync).
+
+        chk: int32 array of extra pause steps (the --checks table);
+        pass [-1] for none."""
+        eps = np.finfo(np.float64).eps
+
+        def attempt(carry):
+            (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a, l2a,
+             pause) = carry
+            last = jnp.logical_or(t + dt >= t_final,
+                                  steps == max_steps)
+            dt_eff = jnp.where(t + dt >= t_final, t_final - t, dt)
+
+            def fresh(_):
+                sJ, dtm = self._qupdate(S)
+                return sJ, dtm
+
+            def memo(_):
+                return sj, jnp.asarray(jnp.inf, self.dtype)
+
+            sJ1, dtm1 = jax.lax.cond(cs1, fresh, memo, operand=None)
+            S_new, dtacc, (h1it, l2it) = self._step(
+                S, dt_eff, True, sJit1=sJ1)
+            # count_stage1 semantics: dtm1 is inf when memoized
+            dtacc = jnp.minimum(dtacc, dtm1)
+            sj_new, dt_final_q = self._qupdate(S_new)
+            dt_est = self._guard_finite(
+                S_new, jnp.minimum(dtacc, dt_final_q))
+            steps = steps + 1
+            reject = dt_est < dt_eff
+            dt_rej = dt_eff * 0.85
+            crashed = jnp.logical_or(crashed,
+                                     jnp.logical_and(reject,
+                                                     dt_rej < eps))
+            # reference last_step quirk on rejection (laghos.cpp:775)
+            last_rej = jnp.logical_and(last,
+                                       jnp.logical_not(steps < max_steps))
+            grow = dt_est > 1.25 * dt_eff
+            dt_acc = jnp.where(grow, dt_eff * 1.02, dt_eff)
+            sel = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+                lambda u, v: jnp.where(reject, u, v), a, b)
+            S = sel(S, S_new)
+            sj = sel(sj, sj_new)
+            t = jnp.where(reject, t, t + dt_eff)
+            dt = jnp.where(reject, dt_rej, dt_acc)
+            cs1 = reject
+            h1a = h1a + jnp.where(reject, 0, h1it)
+            l2a = l2a + jnp.where(reject, 0, l2it)
+            done = jnp.where(reject, last_rej, last)
+            at_vis = jnp.logical_or(ti % vis_steps == 0,
+                                    jnp.any(chk == ti))
+            pause = jnp.logical_and(jnp.logical_not(reject), at_vis)
+            ti = jnp.where(reject, ti, ti + 1)
+            return (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a,
+                    l2a, pause)
+
+        def cond(carry):
+            done, crashed, pause = carry[7], carry[8], carry[11]
+            return jnp.logical_not(done | crashed | pause)
+
+        f = jnp.bool_(False)
+        carry = (S, t, dt, ti, steps, sj, count_stage1, f, f,
+                 jnp.asarray(0), jnp.asarray(0), f)
+        return jax.lax.while_loop(cond, attempt, carry)
+
+    def run_segment(self, S, t, dt, ti, steps, sj, count_stage1,
+                    t_final, max_steps, vis_steps, chk):
+        if not hasattr(self, "_segment_jit"):
+            self._segment_jit = self._ctx_jit(self._segment_impl)
+        dtype = self.dtype
+        return self._segment_jit(
+            S, jnp.asarray(t, dtype), jnp.asarray(dt, dtype),
+            jnp.asarray(ti), jnp.asarray(steps), sj,
+            jnp.bool_(count_stage1), jnp.asarray(t_final, dtype),
+            jnp.asarray(max_steps), jnp.asarray(vis_steps),
+            jnp.asarray(chk, dtype=jnp.int32))
+
     # -------------------------------------------------- public API -------
     def advance(self, S, dt, count_stage1=False, sJit1=None):
         """Step + post-step dt estimate, one compiled call.

@@ -86,3 +86,27 @@ def test_device_count_invariance():
     shard_hydro(h8, device_mesh(8))
     r8 = driver.run(h8, t_final=0.6, max_steps=5, vis_steps=1)
     assert abs(r1.e_norm - r8.e_norm) / r1.e_norm < 1e-13
+
+
+def test_device_loop_matches_host_loop():
+    """The on-device adaptive-dt loop (Hydro.run_segment) must reproduce
+    the host control loop exactly: step count, |e|, norm sampling steps,
+    and CG iteration totals."""
+    from laghos_tpu import driver
+    from laghos_tpu.fem import mesh as fmesh
+    from laghos_tpu.hydro import Hydro, Options
+
+    def mk():
+        m = fmesh.cartesian(2, (2, 2), (1.0, 1.0))
+        for _ in range(2):
+            m = fmesh.uniform_refine(m)
+        return Hydro(m, Options(problem=1, blast_energy=1.0))
+
+    r1 = driver.run(mk(), t_final=0.1, vis_steps=7, verbose=False)
+    r2 = driver.run(mk(), t_final=0.1, vis_steps=7, verbose=False,
+                    device_loop=True)
+    assert r1.steps == r2.steps
+    assert abs(r1.t - r2.t) < 1e-15
+    assert abs(r1.e_norm - r2.e_norm) / r1.e_norm < 1e-14
+    assert sorted(r1.norms) == sorted(r2.norms)
+    assert r1.h1_iters == r2.h1_iters
