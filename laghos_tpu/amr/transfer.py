@@ -124,6 +124,10 @@ def _pointwise_deref(nodes1d, p, dim):
     eps = 1e-12
     owner = np.full(ld, -1)
     order = _MFEM_CHILD_ORDER[dim]
+    import os
+    if os.environ.get("AMR_DEREF_TIE") == "first":
+        # experiment knob: first-covering child wins ties instead
+        order = list(reversed(order))
     for ci, bits in enumerate(order):
         ok = np.ones(ld, dtype=bool)
         for dd in range(dim):

@@ -192,6 +192,10 @@ def _main_amr(args):
                   cg_max_iter=args.cg_max_iter,
                   ode_solver=args.ode_solver)
     h = AMRHydro(f, opt, h0=0.5 / args.order_v)
+    if args.n_devices > 1:
+        from .parallel.sharding import device_mesh, shard_amr
+
+        shard_amr(h, device_mesh(args.n_devices))
     print(f"Number of zones in the initial AMR mesh: {h.NE}")
     res = run_amr(h, t_final=args.t_final,
                   ref_threshold=args.ref_threshold,

@@ -196,19 +196,18 @@ def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
             lat["winv"], h0_e=lat["h0e"], h1order=h1order, cfl=cfl,
             use_viscosity=False, use_vorticity=False)
     elif pallas:
-        # fused Pallas VPU physics on the dense q-lattice (reshaped to
-        # 2D tiles; the q-lattice needs no packing gather)
+        # fused Pallas VPU physics on the dense q-lattice: every operand
+        # passes as its own same-shaped 2D ref (no packing copies)
         from . import pallas_qphys
 
         Q = e_q.shape
         r2 = lambda a: a.reshape(Q[0] * Q[1], Q[2])  # noqa: E731
         dV9 = grad9_lattice(v3, TB, TG)
-        sJit9, dtq, _ = pallas_qphys.physics_3d_pallas9(
+        sJit9, dtq, _ = pallas_qphys.physics_3d_pallas_flat(
             tuple(r2(a) for a in J9), tuple(r2(a) for a in dV9),
             tuple(r2(a) for a in lat["J0i9"]), r2(e_q), r2(lat["rw"]),
-            r2(lat["gam"]), h0=h0, h1order=h1order, cfl=cfl,
-            use_vorticity=use_vorticity, winv=r2(lat["winv"]),
-            interpret=interpret)
+            r2(lat["gam"]), r2(lat["winv"]), h0=h0, h1order=h1order,
+            cfl=cfl, use_vorticity=use_vorticity, interpret=interpret)
         sJit9 = tuple(a.reshape(Q) for a in sJit9)
     else:
         dV9 = grad9_lattice(v3, TB, TG)

@@ -112,6 +112,52 @@ def physics_3d_pallas(J, dV, J0i, e_q, rw, gamma, W, *, h0, h1order, cfl,
             visc.reshape(-1)[:N].reshape(NE, NQ))
 
 
+def _kernel_flat(*refs, h0, h1order, cfl, use_vorticity, hard_visc):
+    (J_refs, dV_refs, J0i_refs) = (refs[0:9], refs[9:18], refs[18:27])
+    e_ref, rw_ref, winv_ref, gam_ref = refs[27:31]
+    outs = refs[31:]
+    sJit, dtq, visc = physics_3d(
+        tuple(r[...] for r in J_refs), tuple(r[...] for r in dV_refs),
+        tuple(r[...] for r in J0i_refs), e_ref[...], rw_ref[...],
+        gam_ref[...], winv_ref[...], h0_e=h0, h1order=h1order, cfl=cfl,
+        use_vorticity=use_vorticity, hard_visc=hard_visc)
+    for k in range(9):
+        outs[k][...] = sJit[k]
+    outs[9][...] = dtq
+    outs[10][...] = visc
+
+
+def physics_3d_pallas_flat(J9, dV9, J0i9, e_q, rw, gam, winv, *, h0,
+                           h1order, cfl, use_vorticity=False,
+                           hard_visc=False, interpret=False):
+    """No-packing variant for DENSE q-lattice inputs: all 31 operands
+    are same-shaped 2D arrays passed as separate refs (no stack/pad
+    copies on either side — the packed layout of physics_3d_pallas9
+    cost more in HBM copies than the kernel saved).  Requires
+    rows % 8 == 0 (q-lattice rows are multiples of nq1^2)."""
+    R, C = e_q.shape
+    bm = _BM
+    assert R % bm == 0, (R, bm)
+    dtype = e_q.dtype
+    zero = np.int32(0)
+    spec = pl.BlockSpec((bm, C), lambda i: (i, zero),
+                        memory_space=pltpu.VMEM)
+    n_in = 31
+    kern = functools.partial(
+        _kernel_flat, h0=h0, h1order=h1order, cfl=cfl,
+        use_vorticity=use_vorticity, hard_visc=hard_visc)
+    outs = pl.pallas_call(
+        kern,
+        grid=(R // bm,),
+        interpret=interpret,
+        in_specs=[spec] * n_in,
+        out_specs=tuple([spec] * 11),
+        out_shape=tuple(jax.ShapeDtypeStruct((R, C), dtype)
+                        for _ in range(11)),
+    )(*J9, *dV9, *J0i9, e_q, rw, winv, gam)
+    return tuple(outs[:9]), outs[9], outs[10]
+
+
 def physics_3d_pallas9(J9, dV9, J0i9, e_q, rw, gamma, W=None, *, h0,
                        h1order, cfl, use_vorticity=False, hard_visc=False,
                        interpret=False, winv=None):
