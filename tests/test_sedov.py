@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from laghos_tpu.sedov import SedovSolution
 
@@ -34,3 +35,27 @@ def test_profile_monotone_and_finite():
     rho, v, P = s.eval(r)
     assert np.all(np.isfinite(rho)) and np.all(np.isfinite(v))
     assert np.all(rho >= 0) and np.all(P >= -1e-14)
+
+
+@pytest.mark.slow
+def test_sedov_density_error_converges():
+    """The -err exact-error check must CONVERGE under refinement
+    (SURVEY verification layer; reference laghos.cpp:1007-1086): the
+    density L2 error vs the analytic Sedov solution decreases from rs1
+    to rs2 on the 2D blast."""
+    from laghos_tpu import driver
+    from laghos_tpu.fem import mesh as fmesh
+    from laghos_tpu.hydro import Hydro, Options
+    from laghos_tpu.sedov import sedov_density_l2_error
+
+    errs = []
+    for rs in (2, 3):
+        m = fmesh.cartesian(2, (2, 2), (1.0, 1.0))
+        for _ in range(rs):
+            m = fmesh.uniform_refine(m)
+        h = Hydro(m, Options(problem=1, blast_energy=1.0))
+        res = driver.run(h, t_final=0.4, verbose=False, device_loop=True)
+        errs.append(sedov_density_l2_error(h, res.S, res.t, 1.0))
+    # shock-dominated flow converges slowly (~first order in L1 at the
+    # front); require a clear decrease, not a fixed rate
+    assert errs[1] < 0.9 * errs[0], errs
