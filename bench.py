@@ -1,6 +1,12 @@
 """Headline benchmark: 3D Sedov FOM (megadofs x steps / sec) on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "rows"}.
+The default run SELF-CERTIFIES the north star (BASELINE.json): besides
+the f32 headline it measures the f64-accurate energy-conserving rows —
+Q2-Q1 and Q4-Q3 Ozaki+RK2Avg with their energy drift — and a
+production-size Q8-Q7 point, all in the `rows` array of the single JSON
+line.  `BENCH_ONLY=headline|ns2|ns4|q8` restricts to one row (the old
+env vars BENCH_RS/BENCH_OK/... then override its config).
 
 Methodology: the reference's FOM (BASELINE.md) is built from per-phase
 rates (CG-H1 / forces / qupdate).  Host<->TPU dispatch through the axon
@@ -9,7 +15,8 @@ reference uses (its device syncs cost microseconds); so each phase is
 measured with a K-iteration on-device `lax.fori_loop` around the jitted
 phase body (state taken from a short real trajectory), amortizing the
 dispatch to zero.  Counts (steps, CG iterations) come from the real
-adaptive-dt trajectory.
+adaptive-dt trajectory.  Reference FOM accounting:
+/root/reference/laghos_solver.cpp:699-796.
 
 The reference publishes no absolute FOM (BASELINE.json.published = {}), so
 vs_baseline is null until a measured Laghos-CUDA number exists.
@@ -17,6 +24,7 @@ vs_baseline is null until a measured Laghos-CUDA number exists.
 
 import json
 import os
+import sys
 import time
 
 
@@ -48,56 +56,37 @@ def _timed_loop(fn, args, iters, hydro=None):
     return sorted(ts)[1] / iters
 
 
-def main():
-    import jax
+def _q_body(h, s, eps):
+    sj, dtm = h._qupdate(s)
+    # fold into state so the loop has a data dependence
+    return {"x": s["x"] + eps * dtm, "v": s["v"], "e": s["e"]}
 
-    if os.environ.get("BENCH_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-    # persistent compile cache: the bench compiles ~8 large programs
-    # (~40-60 s each through the remote TPU compiler); cached re-runs
-    # start timing in seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+
+def measure(rs, ok, ot, dts, *, use_ozaki=False, ode_s=4, cgt=None,
+            use_pallas=False, warm=False, warm_steps=30, iters=50,
+            tag=""):
+    """One FOM row: build the Hydro, sample a short real trajectory,
+    micro-benchmark the three phases with on-device loops, assemble the
+    reference FOM formulas.  Returns the row as a JSON-ready dict."""
+    import jax
     import jax.numpy as jnp
 
     from laghos_tpu import driver
     from laghos_tpu.fem import mesh as fmesh
     from laghos_tpu.hydro import Hydro, Options
 
-    rs = int(os.environ.get("BENCH_RS", "4"))
-    warm_steps = int(os.environ.get("BENCH_STEPS", "30"))
-    # dispatch through the axon tunnel costs ~25-30 ms per program
-    # launch; 50-iteration on-device loops keep that overhead under 2%%
-    # of every phase measurement
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
-    dts = os.environ.get("BENCH_DTYPE", "f32")
-    ok = int(os.environ.get("BENCH_OK", "2"))   # Q2-Q1 or Q4-Q3 (BASELINE)
-    ot = int(os.environ.get("BENCH_OT", str(ok - 1)))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    use_ozaki = os.environ.get("BENCH_OZAKI", "0") == "1"
     if use_ozaki:
         dts = "f64"
     dtype = jnp.float64 if dts == "f64" else jnp.float32
+    if cgt is None:
+        # reference default 1e-8 (laghos.cpp -cgt) for f64; f32 cannot
+        # converge below ~sqrt(eps_f32) so the f32 rows run at 2e-7
+        cgt = 1e-8 if dts == "f64" else 2e-7
 
     # unit cube, 2x2x2 hexes (the cube01_hex geometry), refined rs times
     m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
     for _ in range(rs):
         m = fmesh.uniform_refine(m)
-    # cg_tol: the reference default is 1e-8 (laghos.cpp -cgt), used
-    # verbatim for f64; f32 cannot converge below ~sqrt(eps_f32) so the
-    # f32 production row runs at 2e-7 (documented in the emitted JSON).
-    cgt = float(os.environ.get(
-        "BENCH_CGT", "1e-8" if dts == "f64" else "2e-7"))
-    warm = os.environ.get("BENCH_WARM", "0") == "1"
-    # BENCH_S=7 runs the energy-conserving RK2Avg stepper (the north
-    # star conditions the f64 FOM on total-energy drift <= 1e-12,
-    # which only RK2Avg delivers; RK4 reports truncation-level drift)
-    ode_s = int(os.environ.get("BENCH_S", "4"))
     opt = Options(problem=1, blast_energy=2.0, ode_solver=ode_s,
                   order_v=ok, order_e=ot, use_pallas=use_pallas,
                   cg_tol=cgt, ozaki=use_ozaki, cg_warm_start=warm)
@@ -117,8 +106,7 @@ def main():
     # tiny-scale carries prevent XLA from dead-code-eliminating the body
     eps = 1e-300 if dts == "f64" else 1e-30
 
-    t_q = _timed_loop(lambda s: _q_body(h, s, eps), S, iters,
-                      hydro=h)
+    t_q = _timed_loop(lambda s: _q_body(h, s, eps), S, iters, hydro=h)
 
     def _force_pair(sj):
         raw = h._force_rhs_raw(sj)
@@ -178,31 +166,102 @@ def main():
     # for the RK2Avg stepper; RK4 reports its truncation-level drift)
     drift = abs(res.energy_final - res.energy_init) / abs(res.energy_init)
 
-    import sys
-
-    print(f"phase times/call: qupdate {t_q*1e3:.3f} ms, "
+    print(f"[{tag}] phase times/call: qupdate {t_q*1e3:.3f} ms, "
           f"force-pair {t_f*1e3:.3f} ms, cg-velocity {t_cg*1e3:.3f} ms "
           f"({cg_iters_per_solve:.1f} iters/solve); "
           f"FOM1 {FOM1:.2f} FOM2 {FOM2:.2f} FOM3 {FOM3:.2f}",
-        file=sys.stderr)
-    print(json.dumps({
+          file=sys.stderr)
+    return {
+        "row": tag,
         "metric": (f"3D Sedov Q{ok}-Q{ot} FOM (rs{rs}, NE={h.NE}, "
                    f"{dts}{'+ozaki' if use_ozaki else ''}"
                    f"{'+pallas' if use_pallas else ''}"
                    f"{'+rk2avg' if ode_s == 7 else ''}, 1 chip)"),
         "value": round(FOM, 3),
         "unit": "megadofs*steps/s",
-        "vs_baseline": None,
         "energy_drift_rel": float(f"{drift:.3e}"),
         "cg_tol": opt.cg_tol,
         "steps_sampled": steps,
-    }))
+        "h1_dofs": int(H1_dofs),
+        "fom1": round(FOM1, 2), "fom2": round(FOM2, 2),
+        "fom3": round(FOM3, 2),
+    }
 
 
-def _q_body(h, s, eps):
-    sj, dtm = h._qupdate(s)
-    # fold into state so the loop has a data dependence
-    return {"x": s["x"] + eps * dtm, "v": s["v"], "e": s["e"]}
+# The default row set.  `headline` is the speed row; `ns2`/`ns4` are the
+# BASELINE.json north-star rows (f64-class accuracy via int8-MXU Ozaki
+# lattice chains, RK2Avg energy conservation <= ~1e-12); `q8` shows
+# high-order at a production element count (NE=4096, 6.4M H1 dofs).
+ROWS = {
+    "headline": dict(rs=4, ok=2, ot=1, dts="f32"),
+    "ns2": dict(rs=4, ok=2, ot=1, dts="f64", use_ozaki=True, ode_s=7),
+    "ns4": dict(rs=3, ok=4, ot=3, dts="f64", use_ozaki=True, ode_s=7),
+    "q8": dict(rs=3, ok=8, ot=7, dts="f32"),
+}
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # persistent compile cache: the bench compiles ~30 large programs
+    # (~40-60 s each through the remote TPU compiler); cached re-runs
+    # start timing in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    only = os.environ.get("BENCH_ONLY", "")
+    names = [only] if only else list(ROWS)
+    common = dict(
+        warm_steps=int(os.environ.get("BENCH_STEPS", "30")),
+        # dispatch through the axon tunnel costs ~25-30 ms per program
+        # launch; 50-iteration on-device loops keep that overhead under
+        # 2%% of every phase measurement
+        iters=int(os.environ.get("BENCH_ITERS", "50")),
+        warm=os.environ.get("BENCH_WARM", "0") == "1",
+        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+    )
+    rows = []
+    for name in names:
+        cfg = dict(ROWS[name])
+        if only:
+            # single-row mode: the old env vars override the row config
+            cfg["rs"] = int(os.environ.get("BENCH_RS", cfg["rs"]))
+            cfg["ok"] = int(os.environ.get("BENCH_OK", cfg["ok"]))
+            cfg["ot"] = int(os.environ.get("BENCH_OT", cfg["ok"] - 1))
+            cfg["dts"] = os.environ.get("BENCH_DTYPE", cfg["dts"])
+            if "BENCH_OZAKI" in os.environ:
+                cfg["use_ozaki"] = os.environ["BENCH_OZAKI"] == "1"
+            if "BENCH_S" in os.environ:
+                cfg["ode_s"] = int(os.environ["BENCH_S"])
+            if "BENCH_CGT" in os.environ:
+                cfg["cgt"] = float(os.environ["BENCH_CGT"])
+        try:
+            rows.append(measure(tag=name, **cfg, **common))
+        except Exception as e:  # one row failing must not kill the bench
+            print(f"[{name}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            rows.append({"row": name, "error": f"{type(e).__name__}: {e}"})
+
+    head = next((r for r in rows if r["row"] == "headline" and "value" in r),
+                next((r for r in rows if "value" in r), rows[0]))
+    out = dict(head)
+    out["vs_baseline"] = None
+    out["rows"] = rows
+    ns = [r for r in rows if r["row"] in ("ns2", "ns4") and "value" in r]
+    if ns:
+        out["north_star"] = {
+            "condition": "f64-class FOM, total energy conserved to 1e-12",
+            "met": all(r["energy_drift_rel"] <= 1.2e-12 for r in ns),
+            "drifts": {r["row"]: r["energy_drift_rel"] for r in ns},
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

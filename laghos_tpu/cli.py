@@ -86,6 +86,10 @@ def build_parser():
                         "(ppermute plane halos, psum dots, pmin dt — the "
                         "production multi-chip path) instead of GSPMD "
                         "sharding")
+    p.add_argument("--pencil", type=str, default=None, metavar="DZxDY",
+                   help="with --halo: partition the last TWO element "
+                        "axes over a DZxDY device mesh (e.g. 2x4) "
+                        "instead of 1-axis slabs")
     p.add_argument("-amr", "--enable-amr", action="store_true", dest="amr",
                    help="adaptive mesh refinement (problem 1 only; "
                         "amr/laghos.cpp:106-113)")
@@ -273,7 +277,9 @@ def main(argv=None):
         if args.halo:
             from .parallel.slab_hydro import SlabHydro
 
-            run_h = SlabHydro(h, n_devices=args.n_devices)
+            ms = (tuple(int(x) for x in args.pencil.lower().split("x"))
+                  if args.pencil else None)
+            run_h = SlabHydro(h, n_devices=args.n_devices, mesh_shape=ms)
         else:
             from .parallel.sharding import device_mesh, shard_hydro
 
@@ -339,9 +345,23 @@ def main(argv=None):
     rk_stages = {1: 1, 2: 2, 3: 3, 4: 4, 6: 8, 7: 2}[args.ode_solver]
     steps = res.steps * rk_stages
     if res.timing_data is not None:
-        print_timing(res.timing_data, steps=steps, H1_dofs=h.ndof * m.dim,
-                     L2_dofs=h.NE * h.ld, NQ=h.NQ, NE=h.NE,
-                     p_assembly=h.p_assembly, dim=m.dim, fom_table=args.fom)
+        fom_res = print_timing(
+            res.timing_data, steps=steps, H1_dofs=h.ndof * m.dim,
+            L2_dofs=h.NE * h.ld, NQ=h.NQ, NE=h.NE,
+            p_assembly=h.p_assembly, dim=m.dim, fom_table=args.fom)
+        if args.fom:
+            # Adiak-style provenance record (laghos.cpp:1288-1346)
+            import json as _json
+
+            from .timing import run_metadata
+
+            meta = run_metadata(args=args, opt=opt, result=fom_res,
+                                extra={"NE": h.NE, "steps": res.steps,
+                                       "t_final": res.t,
+                                       "e_norm": res.e_norm})
+            with open("laghos_run_metadata.json", "w") as fp:
+                _json.dump(meta, fp, indent=1, default=str)
+            print("Run metadata written to laghos_run_metadata.json")
 
     print("")
     print(f"Energy  diff: {abs(res.energy_init - res.energy_final):.2e}")

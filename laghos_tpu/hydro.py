@@ -71,7 +71,15 @@ class Options:
                                   # int8-MXU integer-slice matmuls
                                   # (ops/omm.py) — f64-accurate results
                                   # without the VPU f64-emulation tax.
+                                  # On raster meshes the contractions
+                                  # run as whole-lattice banded int8
+                                  # chains (ops/lattice_oz.py).
                                   # 3D + PA + f64 only.
+    ozaki_slices: int = 8         # int8 slices for the dynamic-side
+                                  # Ozaki splits: 8 = full-f64 (~2^-56
+                                  # truncation), 7 = ~2^-49 (at the
+                                  # double-float emulation noise floor,
+                                  # still conserving energy to <1e-12)
     precond: str = "jacobi"       # velocity-mass CG preconditioner:
                                   # "jacobi" = PA diagonal (reference
                                   # parity, laghos_solver.cpp:266-270);
@@ -89,6 +97,21 @@ class Options:
                                   # ~10x the FLOPs of sum-factorization
                                   # but pure MXU work; auto-falls back
                                   # off raster meshes.
+    cg_ir: bool = True            # (ozaki-lattice mode) solve the
+                                  # velocity mass system by mixed-
+                                  # precision iterative refinement:
+                                  # inner f32 whole-lattice CG sweeps
+                                  # with outer f64-accurate (Ozaki)
+                                  # residual corrections, stopping on
+                                  # the SAME f64 criterion a plain f64
+                                  # CG uses (Carson-Higham IR; the
+                                  # classic way dense f64 solves ride
+                                  # low-precision hardware).  ~8x the
+                                  # all-Ozaki CG at equal solution
+                                  # accuracy; disable for an all-f64-
+                                  # accurate CG parity mode.
+    cg_ir_inner_tol: float = 1e-5  # relative tolerance of the inner f32
+                                  # sweeps in cg_ir mode
     cg_warm_start: bool = False   # warm-start the stage-k mass solves
                                   # from the stage-(k-1) accelerations
                                   # (same convergence target as a cold
@@ -298,18 +321,38 @@ class Hydro:
             for a in range(3) for b in range(3)) if self._sJ9 else None
         self.one_l2 = jnp.ones((NE, self.ld), dtype)
 
-        # whole-lattice banded-matmul operators (raster meshes only;
-        # ozaki mode keeps its int8-MXU mass path)
+        # whole-lattice banded-matmul operators (raster meshes only).
+        # In ozaki mode the same banded chains run as f64-accurate
+        # int8-MXU slice matmuls (ops/lattice_oz.py) — the fusion that
+        # closes the f64-vs-f32 FOM gap.
         self._lat = None
         self._lat_dims = None
-        if (opt.lattice_ops and self.p_assembly and not opt.ozaki
-                and d > 1):
+        self._lat_oz = None
+        self._lat32 = None
+        if opt.lattice_ops and self.p_assembly and d > 1:
             from .ops import lattice as lop
 
             built = lop.build_lattice_ops(self)
             if built is not None:
                 self._lat_dims = built.pop("lat_dims")
                 self._lat = built
+                if opt.ozaki:
+                    from .ops import lattice_oz as lzo
+
+                    l2bd_, _ = top.dense_ops(l2b.B,
+                                             np.zeros_like(l2b.B), d)
+                    self._lat_oz = lzo.build_lattice_oz(
+                        h1b.B, h1b.G, l2bd_,
+                        tuple(reversed(self._sm.dims)),
+                        n_slices=opt.ozaki_slices)
+                    # f32 shadow of the banded mass operator for the
+                    # inner sweeps of the mixed-precision IR velocity
+                    # solve (opt.cg_ir)
+                    self._lat32 = {
+                        "Ts": tuple(T.astype(jnp.float32)
+                                    for T in self._lat["Ts"]),
+                        "Dq": self._lat["Dq"].astype(jnp.float32),
+                    }
         # full lattice pipeline (qupdate gradients + force pair as
         # banded matmuls) — 3D, non-pallas, non-dense variants
         self._edims = None if self._lat is None else self._sm.dims
@@ -447,7 +490,7 @@ class Hydro:
                 use_vorticity=self.use_vort,
                 pallas=(self.opt.use_pallas and self.use_visc
                         and self.dtype == jnp.float32),
-                h0=self.h0)
+                h0=self.h0, oz=self._lat_oz)
         x_e = self._gather_e(S["x"])
         v_e = self._gather_e(S["v"])
         if self._sJ9:
@@ -491,8 +534,14 @@ class Hydro:
             # L-vector directly (F . 1; the L2 "ones" evaluate to 1)
             from .ops import lattice as lop
 
-            y = lop.force_one_lattice(sJit, self._lat["Ts"],
-                                      self._lat["Tg"]).reshape(d, -1)
+            if self._lat_oz is not None:
+                from .ops import lattice_oz as lzo
+
+                y = lzo.force_one_lattice_oz(
+                    sJit, self._lat_oz).reshape(d, -1)
+            else:
+                y = lop.force_one_lattice(sJit, self._lat["Ts"],
+                                          self._lat["Tg"]).reshape(d, -1)
             return jnp.where(jnp.abs(y) < self.ftz_eps2, 0.0, y)
         if isinstance(sJit, tuple):
             if self.oz is not None:
@@ -516,6 +565,13 @@ class Hydro:
 
     def _h1_apply_bc(self, u):
         d = self.dim
+        if self._lat_oz is not None:
+            from .ops import lattice_oz as lzo
+
+            y = lzo.mass_apply_lattice_oz(u, self._lat_oz,
+                                          self._lat["Dq"],
+                                          self._lat_dims)
+            return jnp.where(self.ess_mask_j, 0.0, y)
         if self._lat is not None:
             from .ops import lattice as lop
 
@@ -541,9 +597,77 @@ class Hydro:
         y = self._assemble(jnp.swapaxes(ye, 0, 1)) * w[None, :]
         return jnp.where(self.ess_mask_j, 0.0, y)
 
+    def _cg_velocity_ir(self, rhs, x0=None):
+        """Mixed-precision iterative-refinement velocity mass solve
+        (Ozaki lattice mode): inner Jacobi-CG sweeps on an f32 shadow
+        of the banded lattice operator, outer residuals through the
+        f64-accurate int8-MXU apply.  Stops on the SAME criterion as
+        the reference's f64 CG (preconditioned residual dot vs its
+        initial value, laghos_solver.cpp:264-284) — each outer re-
+        scales the correction equation into f32 range, so the refined
+        solution reaches plain-f64-CG backward error (Carson & Higham
+        2018) at a fraction of the all-Ozaki cost.
+
+        Returned iteration count = total operator applies (inner f32
+        sweeps + one Ozaki apply per outer), the honest analog of the
+        reference's CG iteration count for FOM accounting."""
+        from .ops import lattice as lop
+
+        ess = self.ess_mask_j
+        dinv = self.h1_dinv[None, :]
+        Ts32 = self._lat32["Ts"]
+        Dq32 = self._lat32["Dq"]
+        dinv32 = dinv.astype(jnp.float32)
+        tol = self.opt.cg_tol
+        f64 = self.dtype
+
+        def apply32(u):
+            y = lop.mass_apply_lattice(u, Ts32, Dq32, self._lat_dims)
+            return jnp.where(ess, 0.0, y)
+
+        def rdot(r):
+            return jnp.sum(r * r * dinv, axis=-1)
+
+        if x0 is None:
+            x = jnp.zeros_like(rhs)
+            r = rhs
+        else:
+            x = x0
+            r = rhs - self._h1_apply_bc(x0)
+        target = rdot(rhs) * (tol * tol)
+        # inner tolerance: each outer re-scales r, so f32's ~1e-7 floor
+        # applies per-outer, not globally; ~1e-5 lands cg_tol 1e-8 in
+        # two outers (measured on TPU: fewer Ozaki residual applies
+        # beats fewer inner f32 sweeps)
+        inner_tol = self.opt.cg_ir_inner_tol
+        inner_max = min(self.opt.cg_max_iter, 100)
+
+        def cond(st):
+            x, r, it, outers, active = st
+            return jnp.logical_and(jnp.any(active), outers < 8)
+
+        def body(st):
+            x, r, it, outers, active = st
+            res = cg(apply32, r.astype(jnp.float32), inner_tol,
+                     inner_max, precond=lambda rr: rr * dinv32)
+            dx = res.x.astype(f64)
+            x = jnp.where(active[:, None], x + dx, x)
+            r = rhs - self._h1_apply_bc(x)
+            it = it + jnp.where(active, res.iters + 1, 0)
+            active = jnp.logical_and(active, rdot(r) > target)
+            return (x, r, it, outers + 1, active)
+
+        active0 = rdot(r) > target
+        it0 = jnp.zeros(rhs.shape[0], jnp.int32)
+        x, r, it, outers, active = jax.lax.while_loop(
+            cond, body, (x, r, it0, jnp.asarray(0), active0))
+        return x, jnp.sum(it)
+
     def _cg_velocity(self, rhs, x0=None):
         d = self.dim
         if self.p_assembly:
+            if self._lat32 is not None and self.opt.cg_ir:
+                return self._cg_velocity_ir(rhs, x0=x0)
             res = cg(self._h1_apply_bc, rhs, self.opt.cg_tol,
                      self.opt.cg_max_iter,
                      precond=self._precond_velocity, x0=x0)
@@ -592,7 +716,7 @@ class Hydro:
 
             return lop.force_transpose_lattice(
                 v, sJit, self._lat, self._lat_dims, self._edims,
-                self.tables)
+                self.tables, oz=self._lat_oz)
         v_e = self._gather_e(v)
         if isinstance(sJit, tuple):
             if self.oz is not None:
@@ -849,7 +973,7 @@ class Hydro:
     _CTX_NAMES = ("gather", "_inc", "_incmask", "massD", "h1_dinv",
                   "_schwarz", "Me_inv", "rt_rhs", "ess_mask_j", "gamma_j",
                   "rho0DetJ0w_j", "Jac0inv_j", "Jac0inv9_j", "one_l2",
-                  "_lat")
+                  "_lat", "_lat_oz", "_lat32")
 
     def _ctx(self):
         return {k: getattr(self, k, None) for k in self._CTX_NAMES}

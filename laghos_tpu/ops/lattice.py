@@ -167,13 +167,14 @@ def eq_to_qlattice(x, dims, nq1):
 
 def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
                       h1order, cfl, use_viscosity, use_vorticity,
-                      pallas=False, h0=None, interpret=False):
+                      pallas=False, h0=None, interpret=False, oz=None):
     """Whole-lattice 3D qupdate: banded-matmul gradients feeding the
     scalarized pointwise physics (ops/qphys.py) on q-lattice arrays.
 
     xL/vL: (3, ndof) raster L-vectors; e_b: (NE, ld) L2 dofs; lat: the
-    precomputed lattice ctx (tables + q-lattice qdata).  Returns
-    (sJit9 q-lattice tuple, dt_est).
+    precomputed lattice ctx (tables + q-lattice qdata).  With `oz`
+    (an ops/lattice_oz build) the gradients run as f64-accurate
+    int8-MXU banded chains.  Returns (sJit9 q-lattice tuple, dt_est).
     """
     from . import qphys
     from . import tensor
@@ -183,6 +184,21 @@ def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
     TB, TG = lat["Ts"], lat["Tg"]
     x3 = xL.reshape((3,) + tuple(lat_dims))
     v3 = vL.reshape((3,) + tuple(lat_dims))
+    if oz is not None:
+        from . import lattice_oz as lzo
+
+        if use_viscosity:
+            J9, dV9 = lzo.grad18_lattice_oz(x3, v3, oz)
+        else:
+            J9 = lzo.grad9_lattice_oz(x3, oz)
+            dV9 = tuple(jnp.zeros_like(J9[0]) for _ in range(9))
+        e_q = lzo.l2_eval_oz(e_b, oz)
+        e_q = eq_to_qlattice(e_q, edims, nq1)
+        sJit9, dtq, _ = qphys.physics_3d(
+            J9, dV9, lat["J0i9"], e_q, lat["rw"], lat["gam"],
+            lat["winv"], h0_e=lat["h0e"], h1order=h1order, cfl=cfl,
+            use_viscosity=use_viscosity, use_vorticity=use_vorticity)
+        return sJit9, jnp.min(dtq)
     J9 = grad9_lattice(x3, TB, TG)
     # L2 energy stays per-element (discontinuous); rearrange to lattice
     et = e_b.reshape((e_b.shape[0],) + (l1d,) * 3)
@@ -218,19 +234,29 @@ def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
     return sJit9, jnp.min(dtq)
 
 
-def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables):
+def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables,
+                            oz=None):
     """F^T . v from q-lattice stress data: e_rhs (NE, ld)."""
     from . import tensor
 
     nq1 = tables["H1B"].shape[0]
     v3 = vL.reshape((3,) + tuple(lat_dims))
-    dV9 = grad9_lattice(v3, lat["Ts"], lat["Tg"])
+    if oz is not None:
+        from . import lattice_oz as lzo
+
+        dV9 = lzo.grad9_lattice_oz(v3, oz)
+    else:
+        dV9 = grad9_lattice(v3, lat["Ts"], lat["Tg"])
     eq = None
     for gd in range(3):
         for vd in range(3):
             term = dV9[vd * 3 + gd] * sJ[gd * 3 + vd]
             eq = term if eq is None else eq + term
     eq = qlattice_to_eq(eq, edims, nq1)
+    if oz is not None:
+        from . import lattice_oz as lzo
+
+        return lzo.l2_transpose_oz(eq, oz)
     et = eq.reshape((eq.shape[0],) + (nq1,) * 3)
     out = tensor.eval_transpose(et, tables["L2B"].T, 3)
     return out.reshape(eq.shape[0], -1)

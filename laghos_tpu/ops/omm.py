@@ -36,13 +36,23 @@ S_FULL = 8     # slices for full-f64 accuracy
 
 @dataclasses.dataclass(frozen=True)
 class StaticSplit:
-    """Pre-split static operand B (k, n): contraction dim FIRST."""
+    """Pre-split static operand B (k, n): contraction dim FIRST.
+
+    Registered as a jax pytree (arrays = leaves, levels/exponents =
+    static metadata) so splits can ride the Hydro ctx-as-arguments
+    convention into jitted programs instead of being baked in as HLO
+    constants."""
 
     slices: tuple          # tuple of (k, n) int8 arrays, level-indexed
     levels: tuple          # slice level t of each entry (zero slices dropped)
     scale: jnp.ndarray     # (n,) f64: 2^{eB}
-    e: np.ndarray          # (n,) int exponents
+    e: tuple               # (n,) int exponents (static metadata)
     n_slices: int
+
+
+jax.tree_util.register_dataclass(
+    StaticSplit, data_fields=("slices", "scale"),
+    meta_fields=("levels", "e", "n_slices"))
 
 
 def split_static(B: np.ndarray, n_slices: int = S_FULL) -> StaticSplit:
@@ -64,7 +74,8 @@ def split_static(B: np.ndarray, n_slices: int = S_FULL) -> StaticSplit:
             slices.append(jnp.asarray(d.astype(np.int8)))
             levels.append(t)
     return StaticSplit(tuple(slices), tuple(levels),
-                       jnp.asarray(np.exp2(e[0])), e[0], n_slices)
+                       jnp.asarray(np.exp2(e[0])),
+                       tuple(float(x) for x in e[0]), n_slices)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,7 +87,8 @@ class DynSplit:
     n_slices: int
 
 
-def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL) -> DynSplit:
+def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
+              axis: int = -1) -> DynSplit:
     """Per-row power-of-2 scaling + q-bit integer slices (on device).
 
     The round/residual cascade must be EXACT: on TPU, f64 arithmetic is
@@ -91,7 +103,7 @@ def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL) -> DynSplit:
     combined per-level sums into int8 range (adjacent levels differ by
     2^Q, so moving +-2^Q down a level to +-1 up a level is exact).
     """
-    mx = jnp.max(jnp.abs(A), axis=-1, keepdims=True)
+    mx = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
     mx = jnp.where(mx == 0.0, 1.0, mx)
     # |A| * 2^-e <= 1/2 (ceil, not floor+1: floor+1 leaves m in (1/2, 1]
     # and slice 0 could hit 2^Q).  A log2 off-by-rounding only shifts m
@@ -123,23 +135,28 @@ def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL) -> DynSplit:
     return DynSplit(slices, jnp.exp2(e), n_slices)
 
 
-def _dot_i8(a, b):
-    """(..., k) int8 @ (k, n) int8 -> (..., n) int32 on the MXU."""
+def _dot_i8(a, b, axis=-1):
+    """int8 contraction of `a` axis `axis` with b (k, n) int8 -> int32
+    on the MXU; the n axis lands LAST (tensordot semantics)."""
+    ax = axis % a.ndim
     return jax.lax.dot_general(
-        a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((ax,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
 
 
-def mm(dyn: DynSplit, st: StaticSplit) -> jnp.ndarray:
+def mm(dyn: DynSplit, st: StaticSplit, axis: int = -1) -> jnp.ndarray:
     """f64-accurate dyn @ st from int8 slice-pair MXU products.
 
+    `axis` selects the contraction axis of the dynamic operand (must
+    match the `axis` the split was taken over); the static side's free
+    axis lands last, like jnp.tensordot(A, B, axes=[[axis], [0]]).
     Truncates to slice pairs s + t < n_slices (same bound as a full-f64
     product when n_slices = 8, q = 7)."""
     S = dyn.n_slices
     by_level = {}
     for t, bs in zip(st.levels, st.slices):
         for s in range(S - t):
-            c = _dot_i8(dyn.slices[s], bs)
+            c = _dot_i8(dyn.slices[s], bs, axis)
             L = s + t
             by_level[L] = c if L not in by_level else by_level[L] + c
     # Reconstruction: emulated-f64 passes over (M, n) are the dominant
@@ -151,7 +168,7 @@ def mm(dyn: DynSplit, st: StaticSplit) -> jnp.ndarray:
     #     (S_lo + 2^Q S_hi) when the bound (L+1) k 2^(12+Q) < 2^31
     #     guarantees no overflow — halving the f64 passes;
     #   * the f32 tail folds in with a single f64 add.
-    k = dyn.slices[0].shape[-1]
+    k = dyn.slices[0].shape[axis]
     acc = None
     acc32 = None
     lows = {}
@@ -182,9 +199,19 @@ def mm(dyn: DynSplit, st: StaticSplit) -> jnp.ndarray:
     if acc32 is not None:
         t = acc32.astype(jnp.float64)
         acc = t if acc is None else acc + t
-    return acc * dyn.scale * st.scale
+    scale = dyn.scale
+    ax = axis % scale.ndim
+    if ax != scale.ndim - 1:
+        scale = jnp.moveaxis(scale, ax, -1)
+    return acc * scale * st.scale
 
 
 def matmul(A, B_static: StaticSplit, n_slices: int = S_FULL):
     """One-shot A (..., k) @ B (k, n) with a fresh dynamic split."""
     return mm(split_dyn(A, n_slices), B_static)
+
+
+def tensordot(A, st: StaticSplit, axis: int, n_slices: int = S_FULL):
+    """f64-accurate jnp.tensordot(A, B, axes=[[axis], [0]]): the
+    contracted axis is replaced by B's free axis, appended LAST."""
+    return mm(split_dyn(A, n_slices, axis=axis), st, axis=axis)

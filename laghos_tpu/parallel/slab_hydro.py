@@ -1,21 +1,25 @@
-"""Production structured-slab domain decomposition (halo mode v2).
+"""Production structured domain decomposition: slab and pencil halos.
 
 The TPU-native image of the reference's MPI domain decomposition
 (laghos_solver.cpp:362-398, SURVEY §2.4.1/§2.5), built to inherit every
 single-chip fast path:
 
   * the raster-ordered Cartesian mesh is partitioned into contiguous
-    element slabs along its LAST axis, so each device's dof set is a
-    contiguous range of lattice planes — the halo is ONE contiguous
-    (lat_x * lat_y) plane shared with each neighbor;
+    element SLABS along its last axis (1D device mesh) or PENCILS along
+    its last two axes (2D device mesh, `mesh_shape=(Dz, Dy)`), so each
+    device's dof set is a contiguous block of lattice planes — the halo
+    per partitioned axis is ONE lattice plane shared with each neighbor;
   * per-device kernels are the SAME jitted pieces as the conforming
     `Hydro` (scalarized 3D qupdate, structured E<->L transforms on the
-    local lattice, dense/Ozaki contractions, batched CG) — the stepper
-    tableaus are reused via Hydro._step's mult/stage overrides;
+    local lattice, dense/Ozaki contractions, whole-lattice banded
+    matmuls, batched CG) — the stepper tableaus are reused via
+    Hydro._step's mult/stage overrides;
   * communication is `lax.ppermute` of boundary-plane SLICES after each
-    H1 assembly (no index gathers), `psum` for CG dots/energies, and
-    `pmin` for the dt estimate — O(surface) bytes per operator apply
-    riding ICI, exactly the reference's halo structure;
+    H1 assembly (no index gathers) — one exchange per partitioned axis,
+    sequenced so corner/edge contributions ride two hops exactly like a
+    staged MPI halo — plus `psum` for CG dots/energies and `pmin` for
+    the dt estimate: O(surface) bytes per operator apply riding ICI,
+    exactly the reference's halo structure;
   * the driver-visible API (advance / dt_estimate_full / energies /
     e_norm, with stage-1 qdata memoization and sJit donation) matches
     `Hydro`, so laghos_tpu.driver.run works unchanged.
@@ -26,6 +30,7 @@ laghos_solver.cpp:442-518 where the L2 mass needs no prolongation.
 
 from __future__ import annotations
 
+import itertools
 from functools import partial
 
 import jax
@@ -55,9 +60,17 @@ def _identity_structmaps(dims_loc, p):
 
 
 class SlabHydro:
-    """Distributed view of a conforming `Hydro` over a 1D device mesh."""
+    """Distributed view of a conforming `Hydro` over a 1D (slab) or 2D
+    (pencil) device mesh.
 
-    def __init__(self, hydro, n_devices=None, devices=None):
+    `mesh_shape=(Dz,)` partitions the slowest element axis (slabs);
+    `mesh_shape=(Dz, Dy)` additionally partitions the next axis
+    (pencils) — `n_devices` alone means slabs, matching round-2
+    behavior byte-for-byte.
+    """
+
+    def __init__(self, hydro, n_devices=None, devices=None,
+                 mesh_shape=None):
         h = self.h = hydro
         if h._sm is None:
             raise ValueError("slab mode needs a raster-ordered Cartesian "
@@ -65,45 +78,87 @@ class SlabHydro:
         if not h.p_assembly:
             raise ValueError("slab mode covers the partial-assembly path")
         devs = devices if devices is not None else jax.devices()
-        if n_devices is not None:
-            devs = devs[:n_devices]
-        D = self.D = len(devs)
-        self.mesh = Mesh(np.array(devs), (AXIS,))
+        if mesh_shape is None:
+            mesh_shape = (len(devs) if n_devices is None else n_devices,)
+        mesh_shape = tuple(int(x) for x in mesh_shape)
+        Dt = int(np.prod(mesh_shape))
+        devs = devs[:Dt]
+        if len(devs) != Dt:
+            raise ValueError(f"mesh_shape {mesh_shape} needs {Dt} devices,"
+                             f" have {len(devs)}")
+        self.D = Dt
+        self.mesh_shape = mesh_shape
         d = h.dim
         p = h.opt.order_v
-        dims = h._sm.dims
-        if dims[-1] % D != 0:
-            raise ValueError(
-                f"slab mode: last element-grid axis {dims[-1]} must be "
-                f"divisible by the device count {D}")
-        nslab = dims[-1] // D
-        if nslab < 1:
-            raise ValueError("slab thinner than one element layer")
-        self.dims_loc = dims[:-1] + (nslab,)
+        dims = h._sm.dims                    # fastest-first (x, y, z)
+        npart = len(mesh_shape)
+        if npart > d:
+            raise ValueError("more partitioned axes than mesh dimensions")
+        self.names = (AXIS,) if npart == 1 else tuple(
+            AXIS + (str(i) if i else "") for i in range(npart))
+        self.mesh = Mesh(np.array(devs).reshape(mesh_shape), self.names)
+        dims_loc = list(dims)
+        for i, Dk in enumerate(mesh_shape):
+            if dims[-1 - i] % Dk != 0:
+                raise ValueError(
+                    f"partitioned element-grid axis {dims[-1 - i]} must "
+                    f"be divisible by the device-mesh axis {Dk}")
+            dims_loc[-1 - i] = dims[-1 - i] // Dk
+            if dims_loc[-1 - i] < 1:
+                raise ValueError("partition thinner than one element")
+        self.dims_loc = tuple(dims_loc)
         self.sm_loc = _identity_structmaps(self.dims_loc, p)
-        lat = [n * p + 1 for n in dims]
-        self.plane = int(np.prod(lat[:-1]))          # dofs per z-plane
-        self.nzl = nslab * p + 1                     # local lattice planes
-        self.nloc = self.plane * self.nzl
-        self.nel_loc = h.NE // D
+        # slowest-first ("grid") views used for all host-side splitting
+        self.grid = tuple(reversed(dims))
+        self.grid_loc = tuple(reversed(self.dims_loc))
+        self.latg = tuple(n * p + 1 for n in self.grid)
+        self.latg_loc = tuple(n * p + 1 for n in self.grid_loc)
+        self.nloc = int(np.prod(self.latg_loc))
+        self.nel_loc = h.NE // Dt
         self.dtype = h.dtype
         self.NE = h.NE
         self.ndof = h.ndof
+        self._dev_tiles = list(itertools.product(
+            *[range(Dk) for Dk in mesh_shape]))
 
         dt = h.dtype
 
+        def _dof_slices(tile):
+            """Global-lattice slices (slowest-first) of one device's
+            overlapping dof block."""
+            sl = [slice(None)] * len(self.latg)
+            for i, k in enumerate(tile):
+                w = self.grid_loc[i] * p
+                sl[i] = slice(k * w, k * w + w + 1)
+            return tuple(sl)
+
+        self._dof_slices = _dof_slices
+
         def slice_dofs(u):
-            """(C, ndof) -> (D, C, nloc) overlapping plane slices."""
+            """(C, ndof) -> (Dt, C, nloc) overlapping lattice blocks."""
             u = np.asarray(u)
-            out = np.stack([
-                u[:, k * nslab * p * self.plane:
-                  k * nslab * p * self.plane + self.nloc]
-                for k in range(D)])
-            return out
+            C = u.shape[0]
+            ug = u.reshape((C,) + self.latg)
+            return np.stack([
+                ug[(slice(None),) + _dof_slices(t)].reshape(C, -1)
+                for t in self._dev_tiles])
 
         def split_elems(A):
+            """(NE, ...) -> (Dt, nel_loc, ...) contiguous grid chunks."""
             A = np.asarray(A)
-            return A.reshape((D, self.nel_loc) + A.shape[1:])
+            rest = A.shape[1:]
+            Ag = A.reshape(self.grid + rest)
+            out = []
+            for t in self._dev_tiles:
+                sl = [slice(None)] * len(self.grid)
+                for i, k in enumerate(t):
+                    n = self.grid_loc[i]
+                    sl[i] = slice(k * n, (k + 1) * n)
+                out.append(Ag[tuple(sl)].reshape((-1,) + rest))
+            return np.stack(out)
+
+        self._slice_dofs = slice_dofs
+        self._split_elems = split_elems
 
         self.massD_l = jnp.asarray(split_elems(h.massD), dt)
         self.rw_l = jnp.asarray(split_elems(h.rho0DetJ0w_j), dt)
@@ -124,8 +179,8 @@ class SlabHydro:
             "e": jnp.asarray(split_elems(h.S0["e"]), dt),
         }
 
-        # per-slab whole-lattice operators (ops/lattice.py): each slab is
-        # itself a raster lattice, so the banded-matmul compute path
+        # per-block whole-lattice operators (ops/lattice.py): each block
+        # is itself a raster lattice, so the banded-matmul compute path
         # applies locally with the SAME plane halo exchange — multi-chip
         # inherits the full single-chip kernel work
         self.lat = None
@@ -133,7 +188,7 @@ class SlabHydro:
             from ..ops import lattice as lop
 
             nq1 = h.nq1
-            n_zyx = tuple(reversed(self.dims_loc))
+            n_zyx = self.grid_loc
             self.lat_TB = tuple(
                 jnp.asarray(lop.banded_eval_table(
                     np.asarray(h.tables["H1B"], np.float64), n), dt)
@@ -142,16 +197,16 @@ class SlabHydro:
                 jnp.asarray(lop.banded_grad_table(
                     np.asarray(h.tables["H1G"], np.float64), n), dt)
                 for n in n_zyx)
-            self.lat_dims_loc = tuple(
-                n * p + 1 for n in n_zyx)
+            self.lat_dims_loc = self.latg_loc
 
             def ql_split(A):
-                A = np.asarray(A, np.float64).reshape(D, self.nel_loc, -1)
+                A = split_elems(np.asarray(A, np.float64).reshape(
+                    h.NE, -1))
                 return np.stack([
                     lop.qlattice_weights(A[k], self.dims_loc, nq1)
-                    for k in range(D)])
+                    for k in range(Dt)])
 
-            NEl, NQ = self.nel_loc, h.NQ
+            NQ = h.NQ
             W = np.asarray(h.tables["W"], np.float64)
             self.lat_Dq_l = jnp.asarray(ql_split(h.massD), dt)
             self.lat_rw_l = jnp.asarray(ql_split(h.rho0DetJ0w_j), dt)
@@ -175,8 +230,12 @@ class SlabHydro:
     _LAT_CONSTS = ("lat_Dq_l", "lat_rw_l", "lat_gam_l", "lat_winv_l",
                    "lat_h0e_l", "lat_J0i_l")
 
+    @property
+    def _spec(self):
+        return P(self.names)
+
     def _place(self):
-        sh = NamedSharding(self.mesh, P(AXIS))
+        sh = NamedSharding(self.mesh, self._spec)
         put = partial(jax.device_put, device=sh)
         for name in ("massD_l", "rw_l", "gamma_l", "one_l", "J0i_l",
                      "ess_l", "dinv_l"):
@@ -204,7 +263,9 @@ class SlabHydro:
         h = self.h
         d = h.dim
         opt = h.opt
-        plane = self.plane
+        names = self.names
+        latg_loc = self.latg_loc
+        nlat = len(latg_loc)
         consts = list(consts)
         (massD, rw, gamma, one_l2, J0i, ess, dinv) = consts[:7]
         k = 7
@@ -221,36 +282,54 @@ class SlabHydro:
         sm = self.sm_loc
         nloc = self.nloc
 
-        idx = jax.lax.axis_index(AXIS)
-        interior = jnp.concatenate([
-            jnp.zeros((plane,), self.dtype),
-            jnp.ones((nloc - plane,), self.dtype)])
-        owned = jnp.where(idx > 0, interior, jnp.ones((nloc,), self.dtype))
+        # ownership: a dof on the first lattice plane of a partitioned
+        # axis belongs to the lower neighbor (when one exists) — applied
+        # per axis, so shared edges/corners get exactly one owner
+        owned = jnp.ones(latg_loc, self.dtype)
+        for i, name in enumerate(names):
+            idx = jax.lax.axis_index(name)
+            m = jnp.ones((latg_loc[i],), self.dtype)
+            m_in = m.at[0].set(0.0)
+            m = jnp.where(idx > 0, m_in, m)
+            owned = owned * m.reshape((-1,) + (1,) * (nlat - 1 - i))
+        owned = owned.reshape(-1)
 
         def gather_e(u):
             return jnp.swapaxes(structured.l_to_e_struct(u, sm), 0, 1)
 
         def halo_add(y):
-            D = jax.lax.axis_size(AXIS)
-            if D == 1:
-                return y
-            up = [(i, i + 1) for i in range(D - 1)]
-            down = [(i + 1, i) for i in range(D - 1)]
-            from_prev = jax.lax.ppermute(y[..., -plane:], AXIS, up)
-            from_next = jax.lax.ppermute(y[..., :plane], AXIS, down)
-            y = y.at[..., :plane].add(from_prev)
-            y = y.at[..., -plane:].add(from_next)
-            return y
+            """Accumulate shared-plane contributions across each
+            partitioned axis in sequence; the second exchange carries
+            the first's edge sums, so diagonal-neighbor (corner)
+            contributions arrive in two hops."""
+            shp = y.shape
+            y = y.reshape(shp[:-1] + latg_loc)
+            for i, name in enumerate(names):
+                Dk = self.mesh_shape[i]
+                if Dk == 1:
+                    continue
+                ax = y.ndim - nlat + i
+                L = latg_loc[i]
+                up = [(j, j + 1) for j in range(Dk - 1)]
+                down = [(j + 1, j) for j in range(Dk - 1)]
+                last = jax.lax.slice_in_dim(y, L - 1, L, axis=ax)
+                first = jax.lax.slice_in_dim(y, 0, 1, axis=ax)
+                from_prev = jax.lax.ppermute(last, name, up)
+                from_next = jax.lax.ppermute(first, name, down)
+                pre = (slice(None),) * ax
+                y = y.at[pre + (0,)].add(from_prev[pre + (0,)])
+                y = y.at[pre + (L - 1,)].add(from_next[pre + (0,)])
+            return y.reshape(shp)
 
         def assemble(u_e):
             return halo_add(structured.e_to_l_struct(u_e, sm))
 
         def pdot(u, v):
             return jax.lax.psum(
-                jnp.sum(u * v * owned[None, :], axis=-1), AXIS)
+                jnp.sum(u * v * owned[None, :], axis=-1), names)
 
         def edot(u, v):
-            return jax.lax.psum(jnp.sum(u * v, axis=-1), AXIS)
+            return jax.lax.psum(jnp.sum(u * v, axis=-1), names)
 
         def qupd(Sc):
             x_e = gather_e(Sc["x"])
@@ -267,7 +346,7 @@ class SlabHydro:
                     x_e, v_e, Sc["e"], gamma, rw, J0i, h.tables, h.h0,
                     dim=d, h1order=float(opt.order_v), cfl=opt.cfl,
                     use_viscosity=h.use_visc, use_vorticity=h.use_vort)
-            return sJit, jax.lax.pmin(dtm, AXIS)
+            return sJit, jax.lax.pmin(dtm, names)
 
         def mass_apply(u):
             ue = jnp.swapaxes(gather_e(u), 0, 1)
@@ -349,7 +428,7 @@ class SlabHydro:
             return res.x.reshape(e_rhs.shape), iters
 
         if lat is not None:
-            # whole-lattice per-slab operators (ops/lattice.py): same
+            # whole-lattice per-block operators (ops/lattice.py): same
             # banded-matmul kernels as single-chip, same plane halos.
             # Redefining these names rebinds the closures captured by
             # solve_velocity/solve_energy above (late binding).
@@ -364,7 +443,7 @@ class SlabHydro:
                     h.tables, h1order=float(opt.order_v), cfl=opt.cfl,
                     use_viscosity=h.use_visc,
                     use_vorticity=h.use_vort, h0=h.h0)
-                return sJit9, jax.lax.pmin(dtm, AXIS)
+                return sJit9, jax.lax.pmin(dtm, names)
 
             def mass_apply(u):                               # noqa: F811
                 y = lop.mass_apply_lattice(u, self.lat_TB, lat["Dq"],
@@ -389,6 +468,8 @@ class SlabHydro:
     def _make_advance(self, count_stage1: bool, with_sj: bool):
         h = self.h
         consts = self._consts()
+        names = self.names
+        sp = self._spec
 
         def prog(S, dtv, sj, *consts_in):
             cl = [c[0] for c in consts_in]
@@ -439,7 +520,7 @@ class SlabHydro:
             # global finite guard (Hydro._guard_finite, psum-reduced)
             loc = (jnp.sum(S_new["v"]) + jnp.sum(S_new["e"])
                    + jnp.sum(S_new["x"]))
-            ok = jnp.isfinite(jax.lax.psum(loc, AXIS))
+            ok = jnp.isfinite(jax.lax.psum(loc, names))
             dt_est = jnp.where(ok, dt_est, 0.0)
             S_out = {k: v[None] for k, v in S_new.items()}
             sj_out = (tuple(a[None] for a in sj_new)
@@ -449,13 +530,13 @@ class SlabHydro:
         n_c = len(consts)
         if with_sj:
             entry = prog
-            in_specs = (P(AXIS), P(), P(AXIS)) + (P(AXIS),) * n_c
+            in_specs = (sp, P(), sp) + (sp,) * n_c
         else:
             def entry(S, dtv, *cc):
                 return prog(S, dtv, None, *cc)
-            in_specs = (P(AXIS), P()) + (P(AXIS),) * n_c
+            in_specs = (sp, P()) + (sp,) * n_c
         smapped = shard_map(entry, mesh=self.mesh, in_specs=in_specs,
-                            out_specs=(P(AXIS), P(), P(), P(AXIS)),
+                            out_specs=(sp, P(), P(), sp),
                             check_vma=False)
         if with_sj:
             return jax.jit(smapped, donate_argnums=(2,))
@@ -476,6 +557,7 @@ class SlabHydro:
         if self._estimate is None:
             consts = self._consts()
             n_c = len(consts)
+            sp = self._spec
 
             def prog(S, *cc):
                 cl = [c[0] for c in cc]
@@ -488,8 +570,8 @@ class SlabHydro:
 
             self._estimate = jax.jit(shard_map(
                 prog, mesh=self.mesh,
-                in_specs=(P(AXIS),) + (P(AXIS),) * n_c,
-                out_specs=(P(), P(AXIS)), check_vma=False))
+                in_specs=(sp,) + (sp,) * n_c,
+                out_specs=(P(), sp), check_vma=False))
         return self._estimate(S, *self._consts())
 
     def dt_estimate(self, S):
@@ -499,6 +581,8 @@ class SlabHydro:
         if self._energies is None:
             h = self.h
             d = h.dim
+            names = self.names
+            sp = self._spec
 
             def prog(S, rw):
                 from ..ops import tensor as top
@@ -509,18 +593,18 @@ class SlabHydro:
                 et = Sl["e"].reshape((ne_loc,) + (h.l1d,) * d)
                 e_q = top.eval_values(et, h.tables["L2B"], d).reshape(
                     ne_loc, h.NQ)
-                ie = jax.lax.psum(jnp.sum(rwl * e_q), AXIS)
+                ie = jax.lax.psum(jnp.sum(rwl * e_q), names)
                 v_e = jnp.swapaxes(
                     structured.l_to_e_struct(Sl["v"], self.sm_loc), 0, 1)
                 vt = v_e.reshape((ne_loc, d) + (h.nd1,) * d)
                 v_q = top.eval_values(vt, h.tables["H1B"], d).reshape(
                     ne_loc, d, h.NQ)
                 ke = jax.lax.psum(
-                    0.5 * jnp.sum(rwl * jnp.sum(v_q**2, axis=1)), AXIS)
+                    0.5 * jnp.sum(rwl * jnp.sum(v_q**2, axis=1)), names)
                 return ie, ke
 
             self._energies = jax.jit(shard_map(
-                prog, mesh=self.mesh, in_specs=(P(AXIS), P(AXIS)),
+                prog, mesh=self.mesh, in_specs=(sp, sp),
                 out_specs=(P(), P()), check_vma=False))
         return self._energies(S, self.rw_l)
 
@@ -529,14 +613,21 @@ class SlabHydro:
         return float(np.sqrt((e ** 2).sum()))
 
     def to_global(self, S):
-        """Local (D, ...) state -> global (conforming Hydro layout)."""
-        p = self.h.opt.order_v
-        nslab = self.dims_loc[-1]
-        x = np.zeros((self.h.dim, self.ndof))
+        """Local (Dt, ...) state -> global (conforming Hydro layout)."""
+        d = self.h.dim
+        x = np.zeros((d,) + self.latg)
         v = np.zeros_like(x)
-        for k in range(self.D):
-            lo = k * nslab * p * self.plane
-            x[:, lo:lo + self.nloc] = np.asarray(S["x"][k])
-            v[:, lo:lo + self.nloc] = np.asarray(S["v"][k])
-        e = np.asarray(S["e"]).reshape(self.NE, self.h.ld)
-        return {"x": x, "v": v, "e": e}
+        for t, tile in enumerate(self._dev_tiles):
+            sl = (slice(None),) + self._dof_slices(tile)
+            x[sl] = np.asarray(S["x"][t]).reshape((d,) + self.latg_loc)
+            v[sl] = np.asarray(S["v"][t]).reshape((d,) + self.latg_loc)
+        e = np.zeros(self.grid + (self.h.ld,))
+        for t, tile in enumerate(self._dev_tiles):
+            sl = []
+            for i, k in enumerate(tile):
+                n = self.grid_loc[i]
+                sl.append(slice(k * n, (k + 1) * n))
+            e[tuple(sl)] = np.asarray(S["e"][t]).reshape(
+                self.grid_loc + (self.h.ld,))
+        return {"x": x.reshape(d, -1), "v": v.reshape(d, -1),
+                "e": e.reshape(self.NE, self.h.ld)}

@@ -95,3 +95,44 @@ def print_timing(tim: TimingData, *, steps: int, H1_dofs: int, L2_dofs: int,
             f"| {FOM2:7.3g}| {T2:5.3g}| {FOM3:7.3g}| {T3:5.3g}"
             f"| {FOM:7.3g}| {TT:5.3g}|")
     return result
+
+
+def run_metadata(*, args=None, opt=None, result=None, extra=None):
+    """Adiak-style run-provenance record (laghos.cpp:1288-1346): the
+    full CLI/config, library versions, host/device identity, and the
+    measured FOM figures, as one JSON-ready dict.  The reference
+    registers these key/values with Adiak for Caliper to attach to its
+    performance profiles; here the record is emitted alongside the FOM
+    output (and written to a file by the CLI) so every performance
+    number carries its provenance."""
+    import datetime
+    import os
+    import platform
+    import sys
+
+    rec = {
+        "launchdate": datetime.datetime.now().isoformat(timespec="seconds"),
+        "cmdline": sys.argv,
+        "cluster": platform.node(),
+        "executable": os.path.abspath(sys.argv[0]) if sys.argv else "",
+        "user": os.environ.get("USER", ""),
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+    }
+    try:
+        rec["jax_version"] = jax.__version__
+        rec["jax_backend"] = jax.default_backend()
+        rec["devices"] = [str(d) for d in jax.devices()]
+    except Exception:
+        pass
+    if args is not None:
+        rec["config"] = {k: v for k, v in sorted(vars(args).items())}
+    if opt is not None:
+        import dataclasses as _dc
+
+        rec["options"] = _dc.asdict(opt)
+    if result is not None:
+        rec["fom"] = result
+    if extra:
+        rec.update(extra)
+    return rec
