@@ -625,6 +625,21 @@ class Hydro:
             y = lop.mass_apply_lattice(u, Ts32, Dq32, self._lat_dims)
             return jnp.where(ess, 0.0, y)
 
+        # residual-apply slice count: the Ozaki truncation 2^-7S must
+        # sit ~a decade below the residual target cg_tol (6 slices =
+        # 2^-42 for the reference's 1e-8; tighter tolerances widen it)
+        s_res = min(8, max(4, int(np.ceil(
+            (-np.log2(tol) + 3.4) / 7.0))))
+
+        def apply_res(u):
+            from .ops import lattice_oz as lzo
+
+            y = lzo.mass_apply_lattice_oz(u, self._lat_oz,
+                                          self._lat["Dq"],
+                                          self._lat_dims,
+                                          n_slices=s_res)
+            return jnp.where(ess, 0.0, y)
+
         def rdot(r):
             return jnp.sum(r * r * dinv, axis=-1)
 
@@ -633,7 +648,7 @@ class Hydro:
             r = rhs
         else:
             x = x0
-            r = rhs - self._h1_apply_bc(x0)
+            r = rhs - apply_res(x0)
         target = rdot(rhs) * (tol * tol)
         # inner tolerance: each outer re-scales r, so f32's ~1e-7 floor
         # applies per-outer, not globally; ~1e-5 lands cg_tol 1e-8 in
@@ -652,7 +667,7 @@ class Hydro:
                      inner_max, precond=lambda rr: rr * dinv32)
             dx = res.x.astype(f64)
             x = jnp.where(active[:, None], x + dx, x)
-            r = rhs - self._h1_apply_bc(x)
+            r = rhs - apply_res(x)
             it = it + jnp.where(active, res.iters + 1, 0)
             active = jnp.logical_and(active, rdot(r) > target)
             return (x, r, it, outers + 1, active)

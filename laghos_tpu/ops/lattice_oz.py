@@ -70,16 +70,21 @@ def _S(loz):
     return loz["fwdB"][0].n_slices
 
 
-def mass_apply_lattice_oz(uL, loz, Dq, lat_dims):
+def mass_apply_lattice_oz(uL, loz, Dq, lat_dims, n_slices=None):
     """f64-accurate PA mass apply on the raster lattice (the CG-H1
     operator).  uL: (C, ndof); Dq: dense q-lattice rho0DetJ0w.
 
     Chain: contract axis 1 six times — forward axes cycle
     (C,Lz,Ly,Lx) -> (C,Ly,Lx,Qz) -> (C,Lx,Qz,Qy) -> (C,Qz,Qy,Qx),
     pointwise Dq, then the transpose tables cycle back.
+
+    `n_slices` truncates the dynamic split (and with it the slice-pair
+    set) below the build's static count: the IR velocity solve uses 6
+    (~2^-42 truncation — three decades below its 1e-8 residual target,
+    21 vs 36 MXU products per contraction).
     """
     C = uL.shape[0]
-    S = _S(loz)
+    S = n_slices or _S(loz)
     q = uL.reshape((C,) + tuple(lat_dims))
     for k in range(3):
         q = omm.tensordot(q, loz["fwdB"][k], axis=1, n_slices=S)
@@ -89,7 +94,7 @@ def mass_apply_lattice_oz(uL, loz, Dq, lat_dims):
     return q.reshape(C, -1)
 
 
-def gradc_lattice_oz(uc, loz):
+def gradc_lattice_oz(uc, loz, n_slices=None):
     """f64-accurate first derivatives of a batch of lattice fields.
 
     uc: (C, Lz, Ly, Lx).  Returns (d_x, d_y, d_z), each (C, Qz, Qy,
@@ -97,8 +102,13 @@ def gradc_lattice_oz(uc, loz):
     components ride ONE batched dynamic split per chain stage, and the
     value/gradient tables consuming the same intermediate share it
     (6 splits, 8 slice-matmuls for the whole batch).
+
+    `n_slices` truncates the dynamic splits: the qupdate gradients run
+    at 6 (~2^-42 — they only set stress VALUES, at the f64-emulation
+    noise floor; force/transpose adjointness, which energy conservation
+    rides on, is untouched because both sides consume the same sJit).
     """
-    S = _S(loz)
+    S = n_slices or _S(loz)
     fB, fG = loz["fwdB"], loz["fwdG"]
     du = omm.split_dyn(uc, S, axis=1)
     tzB = omm.mm(du, fB[0], axis=1)          # (C, Ly, Lx, Qz)
@@ -121,11 +131,11 @@ def grad9_lattice_oz(u3, loz):
     return tuple(d[a] for a in range(3) for d in (d_x, d_y, d_z))
 
 
-def grad18_lattice_oz(x3, v3, loz):
+def grad18_lattice_oz(x3, v3, loz, n_slices=6):
     """(J9, dV9) for qupdate: both vector fields stacked through ONE
     batched chain (halves the splits and slice-matmuls vs two calls)."""
     d_x, d_y, d_z = gradc_lattice_oz(jnp.concatenate([x3, v3], axis=0),
-                                     loz)
+                                     loz, n_slices=n_slices)
     J9 = tuple(d[a] for a in range(3) for d in (d_x, d_y, d_z))
     dV9 = tuple(d[3 + a] for a in range(3) for d in (d_x, d_y, d_z))
     return J9, dV9

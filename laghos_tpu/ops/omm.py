@@ -48,10 +48,16 @@ class StaticSplit:
     scale: jnp.ndarray     # (n,) f64: 2^{eB}
     e: tuple               # (n,) int exponents (static metadata)
     n_slices: int
+    # stacks[L] = ((L+1)k, n) int8: [b_L; b_{L-1}; ...; b_0] stacked on
+    # the contraction axis, so ALL slice pairs of significance level L
+    # (s + t = L) reduce inside ONE MXU dot against the dynamic prefix
+    # [d_0; ...; d_L] — the per-pair int32 accumulate passes (a large
+    # HBM cost at lattice sizes) disappear into the matmul.
+    stacks: tuple = ()
 
 
 jax.tree_util.register_dataclass(
-    StaticSplit, data_fields=("slices", "scale"),
+    StaticSplit, data_fields=("slices", "scale", "stacks"),
     meta_fields=("levels", "e", "n_slices"))
 
 
@@ -66,16 +72,22 @@ def split_static(B: np.ndarray, n_slices: int = S_FULL) -> StaticSplit:
     e = np.ceil(np.log2(mx)) + 1.0
     m = B * np.exp2(-e)
     slices, levels = [], []
+    dense = []
     r = m
     for t in range(n_slices):
         d = np.round(r * (2.0 ** Q))
         r = r * (2.0 ** Q) - d
+        dense.append(d.astype(np.int8))
         if np.any(d != 0.0):
             slices.append(jnp.asarray(d.astype(np.int8)))
             levels.append(t)
+    stacks = tuple(
+        jnp.asarray(np.concatenate(dense[L::-1], axis=0))
+        for L in range(n_slices))
     return StaticSplit(tuple(slices), tuple(levels),
                        jnp.asarray(np.exp2(e[0])),
-                       tuple(float(x) for x in e[0]), n_slices)
+                       tuple(float(x) for x in e[0]), n_slices,
+                       stacks)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +97,10 @@ class DynSplit:
     slices: tuple          # n_slices arrays (..., k) int8
     scale: jnp.ndarray     # (..., 1) f64: 2^{eA}
     n_slices: int
+    cat: jnp.ndarray = None  # (..., n_slices*k) int8: slices
+                             # concatenated on the contraction axis —
+                             # level-L dots read the [0:(L+1)k] prefix
+                             # in place (no per-level copies)
 
 
 def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
@@ -132,7 +148,8 @@ def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
         lev[t] = lev[t] - c * TQ
         lev[t - 1] = lev[t - 1] + c
     slices = tuple(d.astype(jnp.int8) for d in lev)
-    return DynSplit(slices, jnp.exp2(e), n_slices)
+    cat = jnp.concatenate(slices, axis=axis)
+    return DynSplit(slices, jnp.exp2(e), n_slices, cat)
 
 
 def _dot_i8(a, b, axis=-1):
@@ -154,11 +171,27 @@ def mm(dyn: DynSplit, st: StaticSplit, axis: int = -1) -> jnp.ndarray:
     product when n_slices = 8, q = 7)."""
     S = dyn.n_slices
     by_level = {}
-    for t, bs in zip(st.levels, st.slices):
-        for s in range(S - t):
-            c = _dot_i8(dyn.slices[s], bs, axis)
-            L = s + t
-            by_level[L] = c if L not in by_level else by_level[L] + c
+    if st.stacks:
+        # level-stacked form: one MXU dot per significance level — the
+        # (L+1) slice-pair products of level L reduce inside the matmul
+        # (same int32 magnitudes as the pairwise sum, so the
+        # reconstruction bounds below are unchanged)
+        ax = axis % dyn.slices[0].ndim
+        kk = dyn.slices[0].shape[ax]
+        for L in range(S):
+            if dyn.cat is not None:
+                d = jax.lax.slice_in_dim(dyn.cat, 0, (L + 1) * kk,
+                                         axis=ax)
+            else:
+                d = (dyn.slices[0] if L == 0 else
+                     jnp.concatenate(dyn.slices[:L + 1], axis=ax))
+            by_level[L] = _dot_i8(d, st.stacks[L], axis)
+    else:
+        for t, bs in zip(st.levels, st.slices):
+            for s in range(S - t):
+                c = _dot_i8(dyn.slices[s], bs, axis)
+                L = s + t
+                by_level[L] = c if L not in by_level else by_level[L] + c
     # Reconstruction: emulated-f64 passes over (M, n) are the dominant
     # cost.  Three cuts keep accuracy at the 2^-56 truncation / 2^-49
     # double-float noise floor while minimizing them:

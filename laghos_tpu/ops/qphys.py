@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .smallmat import jacobi_rot_step
+from .smallmat import eig3s_hybrid
 
 
 def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
@@ -81,38 +81,12 @@ def physics_3d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
                        detJ, S, winv, h1order=h1order, cfl=cfl,
                        eig_sweeps=eig_sweeps)
 
-    # scalarized Jacobi eig (smallest) with eigenvector
-    a00, a11, a22, a01, a02, a12 = s00, s11, s22, s01, s02, s12
-    one = jnp.ones_like(a00)
-    zero = jnp.zeros_like(a00)
-    V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
-
-    def vupd(c, s, p, q):
-        for i in range(3):
-            vip, viq = V[i][p], V[i][q]
-            V[i][p] = c * vip - s * viq
-            V[i][q] = s * vip + c * viq
-
-    # NaN-guarded rotations (skip-as-identity on TPU df64 artifacts)
-    for _ in range(eig_sweeps):
-        a00, a11, a01, a02, a12, c, s = jacobi_rot_step(
-            a00, a11, a01, a02, a12)
-        vupd(c, s, 0, 1)
-        a00, a22, a02, a01, a12, c, s = jacobi_rot_step(
-            a00, a22, a02, a01, a12)
-        vupd(c, s, 0, 2)
-        a11, a22, a12, a01, a02, c, s = jacobi_rot_step(
-            a11, a22, a12, a01, a02)
-        vupd(c, s, 1, 2)
-
-    m01 = a00 <= a11
-    mu01 = jnp.where(m01, a00, a11)
-    mu = jnp.minimum(mu01, a22)
-    p0 = m01 & (a00 <= a22)
-    p1 = (~m01) & (a11 <= a22)
-    ex = jnp.where(p0, V[0][0], jnp.where(p1, V[0][1], V[0][2]))
-    ey = jnp.where(p0, V[1][0], jnp.where(p1, V[1][1], V[1][2]))
-    ez = jnp.where(p0, V[2][0], jnp.where(p1, V[2][1], V[2][2]))
+    # smallest eigenpair of the strain rate: native-f32 Jacobi sweeps +
+    # f64 Rayleigh/adjugate refinement (ops/smallmat.eig3s_hybrid) —
+    # same accuracy class as all-f64 sweeps at ~1/4 the emulated-f64
+    # cost (the sweeps were the largest single slice of qupdate time)
+    mu, (ex, ey, ez) = eig3s_hybrid(s00, s11, s22, s01, s02, s12,
+                                    sweeps=eig_sweeps)
 
     # Jpi = J . Jac0inv; ph = Jpi . e
     (o00, o01, o02, o10, o11, o12, o20, o21, o22) = J0i
@@ -167,14 +141,11 @@ def _finish(J, st, visc, Jinv9, detJ, S, winv, *, h1order, cfl,
     t02 = j00 * j02 + j10 * j12 + j20 * j22
     t12 = j01 * j02 + j11 * j12 + j21 * j22
 
-    for _ in range(eig_sweeps):
-        t00, t11, t01, t02, t12 = jacobi_rot_step(t00, t11, t01,
-                                                  t02, t12)[:5]
-        t00, t22, t02, t01, t12 = jacobi_rot_step(t00, t22, t02,
-                                                  t01, t12)[:5]
-        t11, t22, t12, t01, t02 = jacobi_rot_step(t11, t22, t12,
-                                                  t01, t02)[:5]
-    lam = jnp.minimum(jnp.minimum(t00, t11), t22)
+    # f32-sweep + f64-Rayleigh hybrid (values only): J^T J is exactly
+    # degenerate for isotropic elements, where the Rayleigh error
+    # vanishes with the gap — dt stays at f64-class parity
+    lam, _ = eig3s_hybrid(t00, t11, t22, t01, t02, t12,
+                          sweeps=eig_sweeps, want_vector=False)
     sv = jnp.sqrt(jnp.maximum(lam, 0.0))
 
     one = jnp.ones_like(sv)

@@ -225,6 +225,124 @@ def min_singular_value(J: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(lam_min, 0.0))
 
 
+def _sweeps_f32(a00, a11, a22, a01, a02, a12, sweeps):
+    """Cyclic Jacobi in NATIVE f32 with accumulated rotations.
+
+    On TPU every df64 rotation costs ~10-30x its f32 form (the
+    emulated div/sqrt dominate the whole qupdate phase — measured
+    ~26 ms of a 63 ms rs4 qupdate); f32 hardware sweeps get the
+    eigenbasis to ~1e-7, which the df64 refinements below square away.
+    Returns (d0, d1, d2, V[3][3]) in f32."""
+    f32 = jnp.float32
+    a00, a11, a22, a01, a02, a12 = (x.astype(f32) for x in
+                                    (a00, a11, a22, a01, a02, a12))
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+
+    def vupd(c, s, p, q):
+        for i in range(3):
+            vip, viq = V[i][p], V[i][q]
+            V[i][p] = c * vip - s * viq
+            V[i][q] = s * vip + c * viq
+
+    for _ in range(sweeps):
+        a00, a11, a01, a02, a12, c, s = jacobi_rot_step(
+            a00, a11, a01, a02, a12)
+        vupd(c, s, 0, 1)
+        a00, a22, a02, a01, a12, c, s = jacobi_rot_step(
+            a00, a22, a02, a01, a12)
+        vupd(c, s, 0, 2)
+        a11, a22, a12, a01, a02, c, s = jacobi_rot_step(
+            a11, a22, a12, a01, a02)
+        vupd(c, s, 1, 2)
+    return a00, a11, a22, V
+
+
+def _pick_smallest_f32(d0, d1, d2, V):
+    m01 = d0 <= d1
+    mu01 = jnp.where(m01, d0, d1)
+    mu32 = jnp.minimum(mu01, d2)
+    p0 = m01 & (d0 <= d2)
+    p1 = (~m01) & (d1 <= d2)
+    vx = jnp.where(p0, V[0][0], jnp.where(p1, V[0][1], V[0][2]))
+    vy = jnp.where(p0, V[1][0], jnp.where(p1, V[1][1], V[1][2]))
+    vz = jnp.where(p0, V[2][0], jnp.where(p1, V[2][1], V[2][2]))
+    return mu32, vx, vy, vz
+
+
+def eig3s_hybrid(a00, a11, a22, a01, a02, a12, *, sweeps=4,
+                 want_vector=True):
+    """Smallest eigenpair of scalarized symmetric 3x3 batches at
+    f64-class accuracy for ~1/4 the emulated-f64 cost.
+
+    Jacobi sweeps run in native f32 (angle error ~eps32); the f64
+    refinements then square the error:
+      * value: Rayleigh quotient of the f32 vector in f64 — error
+        theta^2 * gap ~ 1e-14;
+      * vector: u = adj(A - mu I) . v32 in f64 — for (near-)singular
+        B = A - mu I the adjugate's range IS the null space, so this is
+        one inverse-iteration step without the near-singular division;
+        degenerate spectra (adj ~ 0) keep the f32 vector, whose
+        direction within an eigen-cluster is physically immaterial
+        (matches the reference's convention freedom at repeated
+        eigenvalues, mfem kernels CalcEigenvalues<3>);
+      * a second Rayleigh quotient on the refined vector tightens
+        near-degenerate clusters.
+    For f32 inputs the refinements run in f32 — one code path for both
+    precisions."""
+    dt = a00.dtype
+    d0, d1, d2, V = _sweeps_f32(a00, a11, a22, a01, a02, a12, sweeps)
+    mu32, vx32, vy32, vz32 = _pick_smallest_f32(d0, d1, d2, V)
+    vx, vy, vz = (v.astype(dt) for v in (vx32, vy32, vz32))
+
+    def rayleigh(x, y, z):
+        Ax = a00 * x + a01 * y + a02 * z
+        Ay = a01 * x + a11 * y + a12 * z
+        Az = a02 * x + a12 * y + a22 * z
+        num = x * Ax + y * Ay + z * Az
+        den = x * x + y * y + z * z
+        # dtype-matched constants (python literals materialize f64
+        # scalars under x64, which the f32 Pallas path must not see)
+        return num / jnp.where(den == 0.0, jnp.ones_like(den), den)
+
+    mu = rayleigh(vx, vy, vz)
+    ok = jnp.isfinite(mu)
+    mu = jnp.where(ok, mu, mu32.astype(dt))
+    if not want_vector:
+        return mu, None
+
+    # adjugate null-space step (df64): u = adj(A - mu I) . v
+    b00 = a00 - mu
+    b11 = a11 - mu
+    b22 = a22 - mu
+    c00 = b11 * b22 - a12 * a12
+    c01 = a02 * a12 - a01 * b22
+    c02 = a01 * a12 - a02 * b11
+    c11 = b00 * b22 - a02 * a02
+    c12 = a01 * a02 - b00 * a12
+    c22 = b00 * b11 - a01 * a01
+    ux = c00 * vx + c01 * vy + c02 * vz
+    uy = c01 * vx + c11 * vy + c12 * vz
+    uz = c02 * vx + c12 * vy + c22 * vz
+    nu2 = ux * ux + uy * uy + uz * uz
+    m = jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)),
+                    jnp.maximum(jnp.abs(a22), jnp.abs(a01)))
+    m = jnp.maximum(m, jnp.maximum(jnp.abs(a02), jnp.abs(a12)))
+    # adj entries scale as m^2 * (relative eigen-gaps); below ~1e-6 the
+    # cluster direction is arbitrary — keep the f32 vector
+    tol = jnp.asarray(1e-6, dt)
+    good = (nu2 > (tol * m * m) ** 2) & jnp.isfinite(nu2)
+    one = jnp.ones_like(nu2)
+    inu = one / jnp.sqrt(jnp.where(good, nu2, one))
+    ex = jnp.where(good, ux * inu, vx)
+    ey = jnp.where(good, uy * inu, vy)
+    ez = jnp.where(good, uz * inu, vz)
+    mu2 = rayleigh(ex, ey, ez)
+    mu = jnp.where(good & jnp.isfinite(mu2), mu2, mu)
+    return mu, (ex, ey, ez)
+
+
 def _eig3_values_min(A: jnp.ndarray, sweeps: int = 4):
     """Smallest eigenvalue only (no eigenvector accumulation)."""
     a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
