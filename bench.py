@@ -194,8 +194,15 @@ def measure(rs, ok, ot, dts, *, use_ozaki=False, ode_s=4, cgt=None,
 # high-order at a production element count (NE=4096, 6.4M H1 dofs).
 ROWS = {
     "headline": dict(rs=4, ok=2, ot=1, dts="f32"),
-    "ns2": dict(rs=4, ok=2, ot=1, dts="f64", use_ozaki=True, ode_s=7),
-    "ns4": dict(rs=3, ok=4, ot=3, dts="f64", use_ozaki=True, ode_s=7),
+    # conservation rows run cg_tol 1e-11: the IR solver stops exactly at
+    # its criterion (no Krylov-orthogonal residual cancellation against
+    # v like a straight CG), so meeting drift <= 1e-12 needs the
+    # velocity solves ~3 decades below it.  Measured rs4: FOM 823.6,
+    # drift 2.0e-13 (the tolerance is part of the emitted row).
+    "ns2": dict(rs=4, ok=2, ot=1, dts="f64", use_ozaki=True, ode_s=7,
+                cgt=1e-11),
+    "ns4": dict(rs=3, ok=4, ot=3, dts="f64", use_ozaki=True, ode_s=7,
+                cgt=1e-11),
     "q8": dict(rs=3, ok=8, ot=7, dts="f32"),
 }
 

@@ -275,11 +275,20 @@ def main(argv=None):
     run_h = h
     if args.n_devices > 1:
         if args.halo:
-            from .parallel.slab_hydro import SlabHydro
+            if h._sm is not None:
+                from .parallel.slab_hydro import SlabHydro
 
-            ms = (tuple(int(x) for x in args.pencil.lower().split("x"))
-                  if args.pencil else None)
-            run_h = SlabHydro(h, n_devices=args.n_devices, mesh_shape=ms)
+                ms = (tuple(int(x)
+                            for x in args.pencil.lower().split("x"))
+                      if args.pencil else None)
+                run_h = SlabHydro(h, n_devices=args.n_devices,
+                                  mesh_shape=ms)
+            else:
+                # unstructured meshes: SFC element chunks with an
+                # owned-dof boundary exchange (use -sfc for good cuts)
+                from .parallel.chunk_hydro import ChunkHydro
+
+                run_h = ChunkHydro(h, n_devices=args.n_devices)
         else:
             from .parallel.sharding import device_mesh, shard_hydro
 
