@@ -341,7 +341,13 @@ def main(argv=None):
             S_init=S_init, t_init=t0, dt_init=dt0, step_init=st0,
             checkpoint_path=args.checkpoint, check_steps=check_steps,
             on_vis=on_vis,
-            device_loop=(args.device_loop and run_h is h and not args.fom))
+            device_loop=(args.device_loop and not args.fom
+                         # distributed: the halo paths run the segment
+                         # loop under shard_map (parallel/segment.py);
+                         # GSPMD mode and checkpointing (local-layout
+                         # state files) keep the host loop
+                         and (run_h is h or (args.halo
+                                             and not args.checkpoint))))
     if run_h is not h and res.S is not None:
         res = dataclasses.replace(res, S={
             k: jnp.asarray(v) for k, v in run_h.to_global(res.S).items()})

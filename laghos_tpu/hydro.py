@@ -143,6 +143,77 @@ def _l2_node_coords(mesh: Mesh, pts_per_dim: np.ndarray) -> np.ndarray:
     return np.einsum("nc,ecd->end", w, corners)
 
 
+def segment_loop(qupd, step, guard, dtype, S, t, dt, ti, steps, sj,
+                 count_stage1, t_final, max_steps, vis_steps, chk):
+    """Adaptive-dt control flow of laghos.cpp:741-790 (truncation,
+    rejection with 0.85 backoff, 1.02 growth, the reference's exact
+    last_step/rejection quirks) as a lax.while_loop, parameterized over
+    the operator closures so BOTH the conforming Hydro and the
+    distributed wrappers (slab/pencil/chunk) run it — under shard_map
+    every control scalar is replicated (psum/pmin-reduced), so all
+    devices take identical branches.
+
+      qupd(S)                 -> (sJit, dt_min)
+      step(S, dt_eff, sJit1)  -> (S_new, dt_acc, (h1_iters, l2_iters))
+      guard(S_new, dt_est)    -> dt_est (0 on non-finite state)
+    """
+    eps = np.finfo(np.float64).eps
+
+    def attempt(carry):
+        (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a, l2a,
+         pause) = carry
+        last = jnp.logical_or(t + dt >= t_final, steps == max_steps)
+        dt_eff = jnp.where(t + dt >= t_final, t_final - t, dt)
+
+        def fresh(_):
+            return qupd(S)
+
+        def memo(_):
+            return sj, jnp.asarray(jnp.inf, dtype)
+
+        sJ1, dtm1 = jax.lax.cond(cs1, fresh, memo, operand=None)
+        S_new, dtacc, (h1it, l2it) = step(S, dt_eff, sJ1)
+        # count_stage1 semantics: dtm1 is inf when memoized
+        dtacc = jnp.minimum(dtacc, dtm1)
+        sj_new, dt_final_q = qupd(S_new)
+        dt_est = guard(S_new, jnp.minimum(dtacc, dt_final_q))
+        steps = steps + 1
+        reject = dt_est < dt_eff
+        dt_rej = dt_eff * 0.85
+        crashed = jnp.logical_or(crashed,
+                                 jnp.logical_and(reject, dt_rej < eps))
+        # reference last_step quirk on rejection (laghos.cpp:775)
+        last_rej = jnp.logical_and(last,
+                                   jnp.logical_not(steps < max_steps))
+        grow = dt_est > 1.25 * dt_eff
+        dt_acc = jnp.where(grow, dt_eff * 1.02, dt_eff)
+        sel = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+            lambda u, v: jnp.where(reject, u, v), a, b)
+        S = sel(S, S_new)
+        sj = sel(sj, sj_new)
+        t = jnp.where(reject, t, t + dt_eff)
+        dt = jnp.where(reject, dt_rej, dt_acc)
+        cs1 = reject
+        h1a = h1a + jnp.where(reject, 0, h1it)
+        l2a = l2a + jnp.where(reject, 0, l2it)
+        done = jnp.where(reject, last_rej, last)
+        at_vis = jnp.logical_or(ti % vis_steps == 0,
+                                jnp.any(chk == ti))
+        pause = jnp.logical_and(jnp.logical_not(reject), at_vis)
+        ti = jnp.where(reject, ti, ti + 1)
+        return (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a,
+                l2a, pause)
+
+    def cond(carry):
+        done, crashed, pause = carry[7], carry[8], carry[11]
+        return jnp.logical_not(done | crashed | pause)
+
+    f = jnp.bool_(False)
+    carry = (S, t, dt, ti, steps, sj, count_stage1, f, f,
+             jnp.asarray(0), jnp.asarray(0), f)
+    return jax.lax.while_loop(cond, attempt, carry)
+
+
 class Hydro:
     """Holds all static data + jitted step/estimate functions."""
 
@@ -1029,66 +1100,13 @@ class Hydro:
 
         chk: int32 array of extra pause steps (the --checks table);
         pass [-1] for none."""
-        eps = np.finfo(np.float64).eps
-
-        def attempt(carry):
-            (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a, l2a,
-             pause) = carry
-            last = jnp.logical_or(t + dt >= t_final,
-                                  steps == max_steps)
-            dt_eff = jnp.where(t + dt >= t_final, t_final - t, dt)
-
-            def fresh(_):
-                sJ, dtm = self._qupdate(S)
-                return sJ, dtm
-
-            def memo(_):
-                return sj, jnp.asarray(jnp.inf, self.dtype)
-
-            sJ1, dtm1 = jax.lax.cond(cs1, fresh, memo, operand=None)
-            S_new, dtacc, (h1it, l2it) = self._step(
-                S, dt_eff, True, sJit1=sJ1)
-            # count_stage1 semantics: dtm1 is inf when memoized
-            dtacc = jnp.minimum(dtacc, dtm1)
-            sj_new, dt_final_q = self._qupdate(S_new)
-            dt_est = self._guard_finite(
-                S_new, jnp.minimum(dtacc, dt_final_q))
-            steps = steps + 1
-            reject = dt_est < dt_eff
-            dt_rej = dt_eff * 0.85
-            crashed = jnp.logical_or(crashed,
-                                     jnp.logical_and(reject,
-                                                     dt_rej < eps))
-            # reference last_step quirk on rejection (laghos.cpp:775)
-            last_rej = jnp.logical_and(last,
-                                       jnp.logical_not(steps < max_steps))
-            grow = dt_est > 1.25 * dt_eff
-            dt_acc = jnp.where(grow, dt_eff * 1.02, dt_eff)
-            sel = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
-                lambda u, v: jnp.where(reject, u, v), a, b)
-            S = sel(S, S_new)
-            sj = sel(sj, sj_new)
-            t = jnp.where(reject, t, t + dt_eff)
-            dt = jnp.where(reject, dt_rej, dt_acc)
-            cs1 = reject
-            h1a = h1a + jnp.where(reject, 0, h1it)
-            l2a = l2a + jnp.where(reject, 0, l2it)
-            done = jnp.where(reject, last_rej, last)
-            at_vis = jnp.logical_or(ti % vis_steps == 0,
-                                    jnp.any(chk == ti))
-            pause = jnp.logical_and(jnp.logical_not(reject), at_vis)
-            ti = jnp.where(reject, ti, ti + 1)
-            return (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a,
-                    l2a, pause)
-
-        def cond(carry):
-            done, crashed, pause = carry[7], carry[8], carry[11]
-            return jnp.logical_not(done | crashed | pause)
-
-        f = jnp.bool_(False)
-        carry = (S, t, dt, ti, steps, sj, count_stage1, f, f,
-                 jnp.asarray(0), jnp.asarray(0), f)
-        return jax.lax.while_loop(cond, attempt, carry)
+        return segment_loop(
+            self._qupdate,
+            lambda Sc, dt_eff, sJ1: self._step(Sc, dt_eff, True,
+                                               sJit1=sJ1),
+            self._guard_finite, self.dtype,
+            S, t, dt, ti, steps, sj, count_stage1,
+            t_final, max_steps, vis_steps, chk)
 
     def run_segment(self, S, t, dt, ti, steps, sj, count_stage1,
                     t_final, max_steps, vis_steps, chk):

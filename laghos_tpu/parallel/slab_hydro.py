@@ -577,6 +577,15 @@ class SlabHydro:
     def dt_estimate(self, S):
         return self.dt_estimate_full(S)[0]
 
+    def run_segment(self, S, t, dt, ti, steps, sj, count_stage1,
+                    t_final, max_steps, vis_steps, chk):
+        """On-device adaptive-dt segment over the device mesh (one host
+        sync per vis pause; parallel/segment.py)."""
+        from .segment import run_segment as _rs
+
+        return _rs(self, S, t, dt, ti, steps, sj, count_stage1,
+                   t_final, max_steps, vis_steps, chk)
+
     def energies(self, S):
         if self._energies is None:
             h = self.h
