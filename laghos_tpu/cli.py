@@ -63,6 +63,12 @@ def build_parser():
                    dest="vis_steps")
     p.add_argument("-print", "--print", action="store_true", dest="gfprint")
     p.add_argument("-visit", "--visit", action="store_true", dest="visit")
+    p.add_argument("-vis", "--visualization", action="store_true",
+                   dest="visualization",
+                   help="stream rho/e/v to a live GLVis server every "
+                        "vis step (laghos.cpp:691-738)")
+    p.add_argument("--glvis", default="localhost:19916",
+                   help="GLVis server host:port for -vis")
     p.add_argument("-mb", "--mem", action="store_true", dest="mem_usage")
     p.add_argument("-k", "--outputfilename", default="results/Laghos",
                    dest="basename")
@@ -323,6 +329,18 @@ def main(argv=None):
         dc = DataCollection(args.basename, h)
         dc.save(0, 0.0, h.S0)
         on_vis = lambda ti, t, S: dc.save(ti, t, S)  # noqa: E731
+    if args.visualization:
+        from .vis import GLVisSession
+
+        host, _, port = args.glvis.partition(":")
+        gl = GLVisSession(h, host or "localhost", int(port or 19916))
+        gl.step(h.S0)
+        prev_vis = on_vis
+        if prev_vis is None:
+            on_vis = lambda ti, t, S: gl.step(S)  # noqa: E731
+        else:
+            on_vis = (lambda ti, t, S, p=prev_vis:
+                      (p(ti, t, S), gl.step(S)))
     import contextlib
 
     prof = (jax.profiler.trace(args.profile) if args.profile
