@@ -30,6 +30,22 @@ ROWS = {
 }
 
 
+class _FlushingTrace(list):
+    """Trace list that checkpoints itself to disk every N appends, so
+    partial trajectories survive interrupted runs (1-CPU bisection)."""
+
+    def __init__(self, path, every=200):
+        super().__init__()
+        self.path, self.every = path, every
+
+    def append(self, rec):
+        super().append(rec)
+        if len(self) % self.every == 0:
+            import json
+            with open(self.path, "w") as fp:
+                json.dump(list(self), fp)
+
+
 def main(row=1, max_steps=-1):
     cfg = ROWS[row]
     dim = cfg["dim"]
@@ -47,13 +63,15 @@ def main(row=1, max_steps=-1):
     # (amr/laghos.cpp: elem_size = 0.5), overriding the mesh formula
     h = AMRHydro(f, opt, h0=0.5 / cfg["ok"])
     print(f"initial leaves: {h.NE}")
-    trace = []
+    tpath = os.environ.get("AMR_TRACE_PATH",
+                           f"/tmp/amr_trace_row{row}.json")
+    trace = _FlushingTrace(tpath)
     res = run_amr(h, t_final=cfg["tf"], ref_threshold=cfg["rt"],
                   max_steps=max_steps, vis_steps=25, verbose=True,
                   trace=trace)
     import json
-    with open(f"/tmp/amr_trace_row{row}.json", "w") as fp:
-        json.dump(trace, fp)
+    with open(tpath, "w") as fp:
+        json.dump(list(trace), fp)
     step, dt, norm = cfg["ref"]
     rel = abs(res["e_norm"] - norm) / norm
     print(f"AMR row {row}: steps {res['steps']} (ref {step}), "
