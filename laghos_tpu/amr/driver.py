@@ -27,20 +27,38 @@ def run_amr(
     blast_position=(0.0, 0.0, 0.0),
     blast_amr_size: float = 1e-10,
     trace: list | None = None,
+    ckpt_path: str | None = None,
+    ckpt_every: int = 100,
+    resume: dict | None = None,
 ):
     """Returns the run summary; with `trace` a list, appends one record
     per step ({ti, t, dt, NE, and refine/deref/reject events}) — the
     step-indexed trajectory used to localize divergence against
-    reference runs (amr/README.md validation)."""
-    t = 0.0
-    S = hydro.state
-    _, dt0, _ = hydro._qupdate(hydro.ctx, S)
-    dt = float(dt0)
+    reference runs (amr/README.md validation).
+
+    With `ckpt_path`, a resumable checkpoint (forest leaves + x0_T +
+    state + loop counters) is written atomically every `ckpt_every`
+    accepted steps; pass a loaded checkpoint as `resume` (with a hydro
+    built via `resume_amr_hydro`) to continue a run bit-identically —
+    multi-thousand-step golden rows survive 1-CPU session limits."""
+    if resume is not None:
+        t = float(resume["t"])
+        dt = float(resume["dt"])
+        steps = int(resume["steps"])
+        ti = int(resume["ti"])
+        count_stage1 = bool(resume["count_stage1"])
+        norms = {int(k): float(v) for k, v in resume["norms"].items()}
+        S = hydro.state
+    else:
+        t = 0.0
+        S = hydro.state
+        _, dt0, _ = hydro._qupdate(hydro.ctx, S)
+        dt = float(dt0)
+        steps = 0
+        count_stage1 = False
+        ti = 1
+        norms = {}
     last_step = False
-    steps = 0
-    count_stage1 = False
-    ti = 1
-    norms = {}
     while not last_step:
         if t + dt >= t_final:
             dt = t_final - t
@@ -130,6 +148,58 @@ def run_amr(
                 "e_norm": hydro.e_norm(), "n_ref": len(refs),
                 "n_deref": len(derefs), "changed": bool(changed)})
         ti += 1
+        if (ckpt_path is not None and not last_step
+                and (ti - 1) % ckpt_every == 0):
+            save_checkpoint(ckpt_path, hydro, t, dt, steps, ti,
+                            count_stage1, norms, trace)
 
+    if ckpt_path is not None and t < t_final - 1e-14:
+        # run ended by max_steps, not t_final: leave a resume point
+        save_checkpoint(ckpt_path, hydro, t, dt, steps, ti,
+                        count_stage1, norms, trace)
     return {"steps": ti - 1, "t": t, "dt": dt, "e_norm": hydro.e_norm(),
             "norms": norms, "NE": hydro.NE}
+
+
+def save_checkpoint(path, hydro, t, dt, steps, ti, count_stage1, norms,
+                    trace=None):
+    """Atomically write a resumable AMR run checkpoint."""
+    import pickle
+
+    f = hydro.forest
+    ck = {
+        "forest": {"dim": f.dim, "base_n": f.base_n, "sizes": f.sizes,
+                   "max_depth": f.max_depth, "leaves": list(f.leaf_list())},
+        "x0_T": np.asarray(hydro.x0_T, np.float64),
+        "h0": float(hydro._h0),
+        "xT": np.asarray(hydro.state["x"], np.float64)[:, :hydro.nt],
+        "vT": np.asarray(hydro.state["v"], np.float64)[:, :hydro.nt],
+        "e": np.asarray(hydro.state["e"], np.float64)[:hydro.NE],
+        "t": t, "dt": dt, "steps": steps, "ti": ti,
+        "count_stage1": count_stage1, "norms": dict(norms),
+    }
+    if trace is not None:
+        ck["trace"] = list(trace)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
+        pickle.dump(ck, fp)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    import pickle
+
+    with open(path, "rb") as fp:
+        return pickle.load(fp)
+
+
+def resume_amr_hydro(ck, opt, dtype=None):
+    """Rebuild the AMRHydro a checkpoint was taken from."""
+    import jax.numpy as jnp
+
+    from .forest import Forest
+
+    f = Forest.from_leaves(**ck["forest"])
+    return AMRHydro(f, opt, dtype=dtype or jnp.float64, ckpt=ck)

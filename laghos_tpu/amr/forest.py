@@ -44,6 +44,20 @@ class Forest:
             self.leaves[key] = 1
         self._order = sorted(self.leaves)
 
+    @classmethod
+    def from_leaves(cls, dim, base_n, sizes, max_depth, leaves):
+        """Reconstruct a forest from a serialized leaf-key list
+        (checkpoint/resume for long AMR golden runs)."""
+        f = cls.__new__(cls)
+        f.dim = int(dim)
+        f.base_n = tuple(int(v) for v in base_n[:dim])
+        f.sizes = tuple(float(s) for s in sizes[:dim])
+        f.max_depth = int(max_depth)
+        f.leaves = {(int(k), tuple(int(v) for v in idx)): 1
+                    for (k, idx) in leaves}
+        f._order = sorted(f.leaves)
+        return f
+
     # -- basic queries ----------------------------------------------------
     def leaf_list(self):
         return self._order

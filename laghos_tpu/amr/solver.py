@@ -34,7 +34,7 @@ class AMRHydro:
     """Sedov-blast hydrodynamics on an adaptive forest (problem 1)."""
 
     def __init__(self, forest, opt, dtype=jnp.float64,
-                 h0_zone_count=None, h0=None):
+                 h0_zone_count=None, h0=None, ckpt=None):
         # h0: explicit base length scale.  The reference AMR driver
         # OVERRIDES the mesh-derived h0 with SetH0(0.5 / order_v)
         # (amr/laghos.cpp "double elem_size = 0.5; oper.SetH0(...)"),
@@ -87,7 +87,18 @@ class AMRHydro:
         self._on_rebuild = None
         self.device_mesh = None
 
-        self.rebuild(initial=True)
+        if ckpt is None:
+            self.rebuild(initial=True)
+        else:
+            # resume from a driver checkpoint: the history-dependent
+            # pieces are the interpolated initial config x0_T (carried
+            # through every AMR transfer), the frozen h0
+            # (amr/laghos_solver.cpp:165-187; AMRUpdate never
+            # recomputes it), and the current (x, v, e) state
+            self.x0_T = np.asarray(ckpt["x0_T"], np.float64)
+            self._h0 = float(ckpt["h0"])
+            self.rebuild(initial=False)
+            self.state = self.pad_state(ckpt["xT"], ckpt["vT"], ckpt["e"])
 
     # ------------------------------------------------------------------
     def rebuild(self, initial=False):

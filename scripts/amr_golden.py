@@ -49,26 +49,40 @@ class _FlushingTrace(list):
 def main(row=1, max_steps=-1):
     cfg = ROWS[row]
     dim = cfg["dim"]
-    f = Forest(dim, (2,) * dim, (1.0,) * dim, max_depth=cfg["rs"])
-    # initial RefineAtVertex at the blast corner, rs times
-    # (amr/laghos.cpp:199-209)
-    # RefineAtVertex does NOT enforce 2:1 (no nc_limit): the initial
-    # mesh has depth-rs cells directly neighbouring depth-0 cells
-    for _ in range(cfg["rs"]):
-        corner = [k for k in f.leaf_list() if all(v == 0 for v in k[1])]
-        f.refine(corner, balance=False)
     opt = Options(problem=1, blast_energy=0.25, order_v=cfg["ok"],
                   order_e=cfg["ot"], cg_tol=1e-8)
-    # the reference driver hard-sets h0 = 0.5 / order_v via SetH0
-    # (amr/laghos.cpp: elem_size = 0.5), overriding the mesh formula
-    h = AMRHydro(f, opt, h0=0.5 / cfg["ok"])
-    print(f"initial leaves: {h.NE}")
     tpath = os.environ.get("AMR_TRACE_PATH",
                            f"/tmp/amr_trace_row{row}.json")
+    cpath = os.environ.get("AMR_CKPT_PATH",
+                           f"/tmp/amr_ckpt_row{row}.pkl")
     trace = _FlushingTrace(tpath)
+    resume = None
+    if os.path.exists(cpath) and os.environ.get("AMR_RESUME", "1") == "1":
+        from laghos_tpu.amr.driver import load_checkpoint, resume_amr_hydro
+        resume = load_checkpoint(cpath)
+        h = resume_amr_hydro(resume, opt)
+        trace.extend(resume.get("trace") or [])
+        print(f"resumed row {row} at step {resume['ti'] - 1}, "
+              f"t={resume['t']:.4f}, NE={h.NE}")
+    else:
+        f = Forest(dim, (2,) * dim, (1.0,) * dim, max_depth=cfg["rs"])
+        # initial RefineAtVertex at the blast corner, rs times
+        # (amr/laghos.cpp:199-209)
+        # RefineAtVertex does NOT enforce 2:1 (no nc_limit): the initial
+        # mesh has depth-rs cells directly neighbouring depth-0 cells
+        for _ in range(cfg["rs"]):
+            corner = [k for k in f.leaf_list()
+                      if all(v == 0 for v in k[1])]
+            f.refine(corner, balance=False)
+        # the reference driver hard-sets h0 = 0.5 / order_v via SetH0
+        # (amr/laghos.cpp: elem_size = 0.5), overriding the mesh formula
+        h = AMRHydro(f, opt, h0=0.5 / cfg["ok"])
+        print(f"initial leaves: {h.NE}")
     res = run_amr(h, t_final=cfg["tf"], ref_threshold=cfg["rt"],
                   max_steps=max_steps, vis_steps=25, verbose=True,
-                  trace=trace)
+                  trace=trace, ckpt_path=cpath,
+                  ckpt_every=int(os.environ.get("AMR_CKPT_EVERY", "50")),
+                  resume=resume)
     import json
     with open(tpath, "w") as fp:
         json.dump(list(trace), fp)

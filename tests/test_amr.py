@@ -197,3 +197,47 @@ def test_amr_sedov_short_run():
     assert np.isfinite(res["e_norm"])
     # the blast should have triggered some refinement activity
     assert res["NE"] >= 10
+
+
+def test_amr_checkpoint_resume_bit_identical(tmp_path):
+    """A run interrupted at step K and resumed from its checkpoint must
+    reproduce the straight run exactly (same steps, same trace, same
+    |e| to the last bit) — the guarantee the multi-session golden-row
+    runs (amr/README.md rows 3-4) rely on."""
+    from laghos_tpu.amr.driver import (load_checkpoint, resume_amr_hydro,
+                                       run_amr)
+    from laghos_tpu.amr.solver import AMRHydro
+
+    def build():
+        f = Forest(2, (2, 2), (1.0, 1.0), max_depth=3)
+        for _ in range(3):
+            corner = [k for k in f.leaf_list()
+                      if all(v == 0 for v in k[1])]
+            f.refine(corner, balance=False)
+        opt = Options(problem=1, blast_energy=0.25, order_v=2, order_e=1,
+                      cg_tol=1e-8)
+        return AMRHydro(f, opt, h0=0.25)
+
+    straight_trace = []
+    res_a = run_amr(build(), t_final=0.8, ref_threshold=2e-4,
+                    max_steps=24, vis_steps=1000, trace=straight_trace)
+
+    cpath = str(tmp_path / "ck.pkl")
+    part_trace = []
+    run_amr(build(), t_final=0.8, ref_threshold=2e-4, max_steps=12,
+            vis_steps=1000, trace=part_trace, ckpt_path=cpath,
+            ckpt_every=5)
+    ck = load_checkpoint(cpath)
+    opt = Options(problem=1, blast_energy=0.25, order_v=2, order_e=1,
+                  cg_tol=1e-8)
+    h2 = resume_amr_hydro(ck, opt)
+    trace2 = list(ck["trace"])
+    res_b = run_amr(h2, t_final=0.8, ref_threshold=2e-4, max_steps=24,
+                    vis_steps=1000, trace=trace2, resume=ck)
+
+    assert res_b["steps"] == res_a["steps"]
+    assert res_b["NE"] == res_a["NE"]
+    assert res_b["e_norm"] == res_a["e_norm"]
+    assert len(trace2) == len(straight_trace)
+    for ra, rb in zip(straight_trace, trace2):
+        assert ra == rb
