@@ -116,10 +116,13 @@ def build_parser():
                    help="f64 TPU production mode: hot contractions as "
                         "int8-MXU integer-slice matmuls (3D PA only)")
     p.add_argument("--precond", default="jacobi",
-                   choices=["jacobi", "schwarz"],
+                   choices=["jacobi", "auto", "kron", "schwarz"],
                    help="velocity CG preconditioner (jacobi = reference "
-                        "parity; schwarz = element-block additive "
-                        "Schwarz, fewer iterations)")
+                        "parity, the CLI default; kron = per-axis "
+                        "Kronecker-exact lattice inverse, ~1-3 CG "
+                        "iterations/solve on raster meshes; auto = kron "
+                        "where available else jacobi; schwarz = element-"
+                        "block additive Schwarz)")
     p.add_argument("--checkpoint", default=None,
                    help="write an NPZ checkpoint of (S, t, dt, step) here "
                         "every vis_steps")

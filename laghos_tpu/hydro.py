@@ -49,6 +49,11 @@ class Options:
     cg_max_iter: int = 300    # -cgm
     ftz_tol: float = 0.0      # -ftz (unused on PA path, like the reference)
     p_assembly: bool = True   # -pa / -fa
+    fa_assembled: bool = True  # -fa velocity CG through the globally
+                               # assembled sparse mass matrix (the
+                               # reference's hypre-matrix solve,
+                               # laghos_solver.cpp:413-439); False keeps
+                               # the mathematically identical PA matvec
     impose_visc: bool = False
     blast_energy: float = 1.0  # -E0
     delta_tol: float = 1e-12   # -dtol
@@ -80,9 +85,18 @@ class Options:
                                   # truncation), 7 = ~2^-49 (at the
                                   # double-float emulation noise floor,
                                   # still conserving energy to <1e-12)
-    precond: str = "jacobi"       # velocity-mass CG preconditioner:
+    precond: str = "auto"         # velocity-mass CG preconditioner:
+                                  # "auto" = "kron" on raster lattices
+                                  # (falls back to jacobi elsewhere);
                                   # "jacobi" = PA diagonal (reference
                                   # parity, laghos_solver.cpp:266-270);
+                                  # "kron" = per-axis Kronecker inverse
+                                  # of the lattice mass factors — EXACT
+                                  # M^-1 whenever rho0*detJ0 separates
+                                  # per axis (Sedov: constant rho0,
+                                  # affine raster mesh), so CG converges
+                                  # in 1-3 iterations instead of ~22
+                                  # (ops/lattice.py kron_mass_factors);
                                   # "schwarz" = element-block additive
                                   # Schwarz (symmetrized by 1/sqrt(mult)
                                   # counting weights) — measured MORE
@@ -364,7 +378,7 @@ class Hydro:
             self._schwarz = (
                 jnp.asarray(np.linalg.inv(Me_h1), dtype),
                 jnp.asarray(1.0 / np.sqrt(counts), dtype))
-        elif opt.precond != "jacobi":
+        elif opt.precond not in ("jacobi", "auto", "kron"):
             raise ValueError(f"unknown precond {opt.precond!r}")
         Me = np.asarray(
             mop.l2_mass_matrices(self.massD, self.tables["L2B"], d))
@@ -381,6 +395,19 @@ class Hydro:
             self.rt_rhs = None
 
         self.ess_mask_j = jnp.asarray(self.ess_mask)
+        # full-assembly velocity mass: assembled ONCE into a global
+        # sparse matrix (time-constant quadrature data rho0*detJ0, like
+        # the reference's one-time hypre mass assembly,
+        # laghos_solver.cpp:201-221) and applied in the -fa velocity CG
+        # (laghos_solver.cpp:413-439) — the production -fa solve goes
+        # through the assembled operator, not the PA matvec.
+        self._h1_bcoo = None
+        if not self.p_assembly and opt.fa_assembled:
+            from .ops import assemble as aop
+
+            Mel = aop.h1_mass_element_matrices(self.massD,
+                                               self.tables["H1B"], d)
+            self._h1_bcoo = aop.to_bcoo(Mel, self.gather, self.ndof)
         self.gamma_j = jnp.asarray(gamma_e, dtype)
         self.rho0DetJ0w_j = jnp.asarray(self.rho0DetJ0w, dtype)
         self.Jac0inv_j = jnp.asarray(self.Jac0inv, dtype)
@@ -424,6 +451,10 @@ class Hydro:
                                     for T in self._lat["Ts"]),
                         "Dq": self._lat["Dq"].astype(jnp.float32),
                     }
+                    if "kron" in self._lat:
+                        self._lat32["kron"] = tuple(
+                            Mk.astype(jnp.float32)
+                            for Mk in self._lat["kron"])
         # full lattice pipeline (qupdate gradients + force pair as
         # banded matmuls) — 3D, non-pallas, non-dense variants
         self._edims = None if self._lat is None else self._sm.dims
@@ -657,6 +688,11 @@ class Hydro:
         return jnp.where(self.ess_mask_j, 0.0, y)
 
     def _precond_velocity(self, r):
+        if self._lat is not None and "kron" in self._lat:
+            from .ops import lattice as lop
+
+            return lop.kron_precond_apply(r, self._lat["kron"],
+                                          self._lat_dims)
         if self._schwarz is None:
             return r * self.h1_dinv[None, :]
         # element-block additive Schwarz: symmetric (SPD) via the
@@ -732,10 +768,19 @@ class Hydro:
             x, r, it, outers, active = st
             return jnp.logical_and(jnp.any(active), outers < 8)
 
+        if "kron" in self._lat32:
+            kron32 = self._lat32["kron"]
+
+            def prec32(rr):
+                return lop.kron_precond_apply(rr, kron32, self._lat_dims)
+        else:
+            def prec32(rr):
+                return rr * dinv32
+
         def body(st):
             x, r, it, outers, active = st
             res = cg(apply32, r.astype(jnp.float32), inner_tol,
-                     inner_max, precond=lambda rr: rr * dinv32)
+                     inner_max, precond=prec32)
             dx = res.x.astype(f64)
             x = jnp.where(active[:, None], x + dx, x)
             r = rhs - apply_res(x)
@@ -761,8 +806,15 @@ class Hydro:
         # FA: one coupled CG over all components (laghos_solver.cpp:400-439)
         flat = rhs.reshape(1, -1)
 
-        def apply_flat(u):
-            return self._h1_apply_bc(u.reshape(d, -1)).reshape(1, -1)
+        if self._h1_bcoo is not None:
+            A = self._h1_bcoo
+
+            def apply_flat(u):
+                y = (A @ u.reshape(d, -1).T).T
+                return jnp.where(self.ess_mask_j, 0.0, y).reshape(1, -1)
+        else:
+            def apply_flat(u):
+                return self._h1_apply_bc(u.reshape(d, -1)).reshape(1, -1)
 
         dinv = jnp.broadcast_to(self.h1_dinv[None, :], (d, self.ndof))
         dinv = jnp.where(self.ess_mask_j, 1.0, dinv).reshape(1, -1)

@@ -262,6 +262,92 @@ def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables,
     return out.reshape(eq.shape[0], -1)
 
 
+def kron_mass_factors(Dq: np.ndarray, Ts_np: tuple) -> list:
+    """Per-axis 1D mass factor matrices from a rank-1 separable
+    approximation of the q-lattice weights.
+
+    The lattice mass operator is  M = (Tz' (.) Tz)(Ty' ...)(Tx' ...)
+    coupled only through Dq; if Dq[i,j,k] = wz[i]*wy[j]*wx[k] then M is
+    EXACTLY the Kronecker product  Az (x) Ay (x) Ax  with
+    A_k = T_k diag(w_k) T_k'.  The best separable approximation in log
+    space (Dq > 0 always: quadrature weight x rho0 x detJ0) is the
+    per-axis mean of log Dq — exact whenever rho0*detJ0 is separable
+    (any problem with constant rho0 on an affine raster mesh, e.g. the
+    Sedov benchmarks).  Since the Lagrangian mass matrix never changes
+    in time (laghos_solver.cpp:178: rho0*detJ0 at t=0), the factors are
+    built once.  Returns [(A_k, relerr)] per lattice axis (z, y, x)."""
+    d = Dq.ndim
+    L = np.log(Dq)
+    m = float(L.mean())
+    ws = []
+    for k in range(d):
+        other = tuple(a for a in range(d) if a != k)
+        ws.append(np.exp(L.mean(axis=other) - (d - 1) / d * m))
+    approx = ws[0]
+    for k in range(1, d):
+        approx = np.multiply.outer(approx, ws[k])
+    relerr = float(np.max(np.abs(Dq - approx) / Dq))
+    return [(T @ np.diag(w) @ T.T, relerr)
+            for T, w in zip(Ts_np, ws)]
+
+
+def build_kron_precond(ess_mask: np.ndarray, lat_dims: tuple,
+                       Dq: np.ndarray, Ts_np: tuple):
+    """Per-component per-axis inverse mass factors for the Kronecker
+    velocity-mass preconditioner.
+
+    Essential BCs break the pure Kronecker structure UNLESS each
+    component's free-dof set is a Cartesian product of per-axis index
+    sets (true for v.n = 0 on box boundaries: component c is
+    constrained exactly on the two lattice planes of axis c).  When the
+    product property holds, the constrained operator is still a
+    Kronecker product of restricted factors, so its exact inverse is
+    the Kronecker product of restricted dense inverses (embedded back
+    with zero rows/cols on constrained dofs -> SPD on the free
+    subspace, and CG residuals are identically zero on constrained
+    dofs).  Returns (mats, relerr) with mats[k] of shape (C, L_k, L_k),
+    or None if any component's mask is not an axis product."""
+    C = ess_mask.shape[0]
+    d = len(lat_dims)
+    factors = kron_mass_factors(Dq, Ts_np)
+    relerr = factors[0][1]
+    mats = [np.zeros((C, Lk, Lk)) for Lk in lat_dims]
+    cache = {}
+    for c in range(C):
+        free = ~ess_mask[c].reshape(lat_dims)
+        fs = []
+        for k in range(d):
+            other = tuple(a for a in range(d) if a != k)
+            fs.append(free.any(axis=other))
+        prod = fs[0]
+        for k in range(1, d):
+            prod = np.multiply.outer(prod, fs[k])
+        if not np.array_equal(free, prod):
+            return None
+        for k in range(d):
+            key = (k, fs[k].tobytes())
+            if key not in cache:
+                A, _ = factors[k]
+                idx = np.where(fs[k])[0]
+                Minv = np.zeros_like(A)
+                Minv[np.ix_(idx, idx)] = np.linalg.inv(A[np.ix_(idx, idx)])
+                cache[key] = Minv
+            mats[k][c] = cache[key]
+    return mats, relerr
+
+
+def kron_precond_apply(r, mats, lat_dims):
+    """Apply the per-component Kronecker inverse: one small dense
+    matmul per lattice axis (pure MXU, no gather/scatter)."""
+    C = r.shape[0]
+    u = r.reshape((C,) + tuple(lat_dims))
+    for k, P in enumerate(mats):
+        u = jnp.moveaxis(u, 1 + k, -1)
+        u = jnp.einsum("c...j,cij->c...i", u, P)
+        u = jnp.moveaxis(u, -1, 1 + k)
+    return u.reshape(C, -1)
+
+
 def build_lattice_ops(hydro):
     """Precompute banded tables + q-lattice weights for a Hydro on a
     raster mesh; returns dict or None if the mesh is not raster."""
@@ -274,9 +360,8 @@ def build_lattice_ops(hydro):
     # dims from StructMaps are (nx, ny, nz) x-first; lattice axes are
     # (z, y, x) in the raster numbering (x fastest)
     n_zyx = tuple(reversed(dims))
-    Ts = tuple(
-        jnp.asarray(banded_eval_table(B, n), hydro.dtype)
-        for n in n_zyx)
+    Ts_np = tuple(banded_eval_table(B, n) for n in n_zyx)
+    Ts = tuple(jnp.asarray(T, hydro.dtype) for T in Ts_np)
     Dq = qlattice_weights(np.asarray(hydro.massD, dtype=np.float64),
                           dims, hydro.nq1)
     lat_dims = tuple(n * hydro.opt.order_v + 1 for n in n_zyx)
@@ -285,6 +370,14 @@ def build_lattice_ops(hydro):
         "Dq": jnp.asarray(Dq, hydro.dtype),
         "lat_dims": lat_dims,
     }
+    if hydro.opt.precond in ("auto", "kron"):
+        kb = build_kron_precond(np.asarray(hydro.ess_mask, bool),
+                                lat_dims, Dq, Ts_np)
+        if kb is not None:
+            mats, relerr = kb
+            out["kron"] = tuple(jnp.asarray(Mk, hydro.dtype)
+                                for Mk in mats)
+            out["kron_relerr"] = relerr
     if d == 3:
         # full lattice qupdate/force pipeline (3D only): gradient tables
         # + every per-qpoint constant re-arranged onto the q-lattice

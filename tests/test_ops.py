@@ -187,3 +187,36 @@ def test_fa_assembled_matches_pa(hydro2d):
     y_mf = mop.h1_mass_apply(u[None], h.gather, h.ndof, h.massD,
                              h.tables["H1B"], 2)[0]
     assert np.allclose(np.asarray(y_sp), np.asarray(y_mf), atol=1e-11)
+
+
+def test_fa_velocity_solve_through_assembled_operator():
+    """The -fa production velocity CG runs through the globally
+    assembled BCOO mass matrix (laghos_solver.cpp:413-439), not the PA
+    matvec: same solution, and a short trajectory matches the
+    PA-matvec FA variant."""
+    import jax.numpy as jnp
+    from laghos_tpu import driver
+    from laghos_tpu.fem import mesh as fmesh
+    from laghos_tpu.hydro import Hydro, Options
+
+    def _h(fa_assembled):
+        m = fmesh.uniform_refine(fmesh.cartesian(2, (2, 2), (1.0, 1.0)))
+        return Hydro(m, Options(problem=1, blast_energy=0.25,
+                                p_assembly=False, cg_tol=1e-12,
+                                fa_assembled=fa_assembled))
+
+    ha = _h(True)
+    hp = _h(False)
+    assert ha._h1_bcoo is not None and hp._h1_bcoo is None
+
+    sj, _ = ha._jq(ha.S0)
+    B = ha._jprep_v(ha._jforce1(sj))
+    xa, _ = ha._jcg_v(B)
+    xp, _ = hp._jcg_v(B)
+    scale = float(jnp.abs(xp).max()) + 1e-300
+    assert float(jnp.abs(xa - xp).max()) / scale < 1e-9
+
+    ra = driver.run(ha, t_final=0.6, max_steps=6, verbose=False)
+    rp = driver.run(hp, t_final=0.6, max_steps=6, verbose=False)
+    assert ra.steps == rp.steps
+    assert abs(ha.e_norm(ra.S) - hp.e_norm(rp.S)) / hp.e_norm(rp.S) < 1e-10

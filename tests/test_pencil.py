@@ -20,7 +20,10 @@ def _hydro(dim=3, refine=1, **kw):
     m = fmesh.cartesian(dim, n, (1.0,) * dim)
     for _ in range(refine):
         m = fmesh.uniform_refine(m)
-    opt = dict(problem=1, blast_energy=2.0, ode_solver=4, cg_tol=1e-12)
+    # jacobi on both sides for the iteration-parity assertions (the
+    # kron default solves the single-device side in ~1 iteration)
+    opt = dict(problem=1, blast_energy=2.0, ode_solver=4, cg_tol=1e-12,
+               precond="jacobi")
     opt.update(kw)
     return Hydro(m, Options(**opt))
 

@@ -67,3 +67,57 @@ def test_schwarz_trajectory_matches_jacobi():
     rs = driver.run(hs, t_final=0.6, max_steps=10, verbose=False)
     assert rj.steps == rs.steps
     assert abs(hj.e_norm(rj.S) - hs.e_norm(rs.S)) / hj.e_norm(rj.S) < 1e-10
+
+
+def test_kron_exact_on_separable_and_spd():
+    """On an affine raster mesh with constant rho0 the q-lattice mass
+    weights separate per axis EXACTLY, so the Kronecker preconditioner
+    is the exact constrained inverse: CG converges in O(1) iterations
+    with the same solution as Jacobi (ops/lattice.py
+    kron_mass_factors/build_kron_precond)."""
+    hj = _h("jacobi")
+    hk = _h("kron")
+    assert hk._lat is not None and "kron" in hk._lat
+    # rank-1 log-separable fit is exact here (roundoff-level residual)
+    assert hk._lat["kron_relerr"] < 1e-10
+
+    # SPD on the free subspace + symmetry
+    rng = np.random.default_rng(3)
+    r1 = jnp.asarray(rng.normal(size=(3, hk.ndof)))
+    r2 = jnp.asarray(rng.normal(size=(3, hk.ndof)))
+    a = float(jnp.sum(hk._precond_velocity(r1) * r2))
+    b = float(jnp.sum(r1 * hk._precond_velocity(r2)))
+    assert abs(a - b) / abs(a) < 1e-12
+    r1f = jnp.where(hk.ess_mask_j, 0.0, r1)
+    assert float(jnp.sum(hk._precond_velocity(r1f) * r1f)) > 0.0
+
+    sj, _ = hj._jq(hj.S0)
+    B = hj._jprep_v(hj._jforce1(sj))
+    xj, itj = hj._jcg_v(B)
+    xk, itk = hk._jcg_v(B)
+    scale = float(jnp.abs(xj).max()) + 1e-300
+    assert float(jnp.abs(xj - xk).max()) / scale < 1e-9
+    assert int(itk) <= 3 * 3  # <= 3 iterations per velocity component
+    assert int(itk) < int(itj) / 4
+
+
+def test_kron_trajectory_matches_jacobi():
+    hj = _h("jacobi")
+    hk = _h("kron", dim=2, refine=2)
+    hj2 = _h("jacobi", dim=2, refine=2)
+    rk = driver.run(hk, t_final=0.6, max_steps=10, verbose=False)
+    rj = driver.run(hj2, t_final=0.6, max_steps=10, verbose=False)
+    assert rj.steps == rk.steps
+    assert abs(hj2.e_norm(rj.S) - hk.e_norm(rk.S)) / hj2.e_norm(rj.S) < 1e-10
+
+
+def test_kron_auto_falls_back_off_raster():
+    """Unstructured meshes have no lattice; 'auto' must silently run
+    Jacobi (no kron entry, _precond_velocity = diagonal scaling)."""
+    m = fmesh.load_netgen_2d("/root/reference/data/square01_quad_unstr.mesh")
+    m = fmesh.uniform_refine(m)
+    h = Hydro(m, Options(problem=1, blast_energy=0.25, cg_tol=1e-12,
+                         structured_el=False, precond="auto"))
+    assert h._lat is None or "kron" not in (h._lat or {})
+    r = driver.run(h, t_final=0.6, max_steps=4, verbose=False)
+    assert np.isfinite(r.e_norm)

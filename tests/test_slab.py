@@ -18,7 +18,12 @@ def _hydro(dim=3, refine=1, **kw):
     m = fmesh.cartesian(dim, n, (1.0,) * dim)
     for _ in range(refine):
         m = fmesh.uniform_refine(m)
-    opt = dict(problem=1, blast_energy=2.0, ode_solver=4, cg_tol=1e-12)
+    # jacobi on both sides: the slab CG preconditions with the PA
+    # diagonal, and the iteration-parity assertion below compares like
+    # with like (the kron default would solve the single-device side in
+    # ~1 iteration)
+    opt = dict(problem=1, blast_energy=2.0, ode_solver=4, cg_tol=1e-12,
+               precond="jacobi")
     opt.update(kw)
     return Hydro(m, Options(**opt))
 
