@@ -118,8 +118,15 @@ def _place_amr_ctx(hydro, mesh: Mesh):
     hydro.ctx = ctx
     hydro.tables = {k: put(v, repl) for k, v in hydro.tables.items()}
     if getattr(hydro, "state", None) is not None:
+        # node vectors shard over the (capacity-padded) dof axis — the
+        # analog of ParNCMesh's distributed true/node vectors
+        # (amr/laghos.cpp:707): GSPMD turns the element gathers into
+        # all-gathers and the CG dots into psums, and each device holds
+        # only its dof chunk between steps.  GSPMD handles the uneven
+        # last shard of non-divisible dof counts.
+        dof = NamedSharding(mesh, P(None, "dd"))
         hydro.state = {
-            "x": put(hydro.state["x"], repl),
-            "v": put(hydro.state["v"], repl),
+            "x": put(hydro.state["x"], dof),
+            "v": put(hydro.state["v"], dof),
             "e": put(hydro.state["e"], elem[2]),
         }
