@@ -124,6 +124,10 @@ class Options:
                                   # all-Ozaki CG at equal solution
                                   # accuracy; disable for an all-f64-
                                   # accurate CG parity mode.
+    cg_ir_inner_mxu: str = "bfloat16"  # matmul precision of the inner
+                                  # f32 sweeps ("bfloat16" = 1 MXU pass;
+                                  # safe: the outer f64 residual check
+                                  # absorbs inner operator error)
     cg_ir_inner_tol: float = 1e-5  # relative tolerance of the inner f32
                                   # sweeps in cg_ir mode
     cg_warm_start: bool = False   # warm-start the stage-k mass solves
@@ -456,9 +460,9 @@ class Hydro:
                             Mk.astype(jnp.float32)
                             for Mk in self._lat["kron"])
         # full lattice pipeline (qupdate gradients + force pair as
-        # banded matmuls) — 3D, non-pallas, non-dense variants
+        # banded matmuls) — 2D/3D, non-pallas, non-dense variants
         self._edims = None if self._lat is None else self._sm.dims
-        self._latq = (self._lat is not None and d == 3
+        self._latq = (self._lat is not None and d in (2, 3)
                       and "Tg" in self._lat and not opt.dense_ops)
         eps = np.finfo(np.float64).eps
         self.ftz_eps2 = eps * eps
@@ -579,6 +583,15 @@ class Hydro:
     # -------------------------------------------------- jitted pieces ----
     def _qupdate(self, S):
         d = self.dim
+        if self._latq and d == 2:
+            from .ops import lattice as lop
+
+            return lop.qupdate2d_lattice(
+                S["x"], S["v"], S["e"], self._lat, self._lat_dims,
+                self._edims, self.tables,
+                h1order=float(self.opt.order_v), cfl=self.opt.cfl,
+                use_viscosity=self.use_visc,
+                use_vorticity=self.use_vort)
         if self._latq:
             # whole-lattice qupdate: banded-matmul gradients straight
             # from the raster L-vectors (no gather, no E-form)
@@ -631,6 +644,13 @@ class Hydro:
         """F . 1 assembled to the H1 L-vector (the sw_force-timed part of
         SolveVelocity, laghos_solver.cpp:354)."""
         d = self.dim
+        if isinstance(sJit, tuple) and len(sJit) == 4:
+            # 2D q-lattice stress (4-tuple; the 3D forms are 9-tuples)
+            from .ops import lattice as lop
+
+            y = lop.force_one_lattice_2d(
+                sJit, self._lat["Ts"], self._lat["Tg"]).reshape(d, -1)
+            return jnp.where(jnp.abs(y) < self.ftz_eps2, 0.0, y)
         if isinstance(sJit, tuple) and sJit[0].ndim == 3:
             # q-lattice stress: reverse banded chains assemble the
             # L-vector directly (F . 1; the L2 "ones" evaluate to 1)
@@ -779,8 +799,16 @@ class Hydro:
 
         def body(st):
             x, r, it, outers, active = st
-            res = cg(apply32, r.astype(jnp.float32), inner_tol,
-                     inner_max, precond=prec32)
+            # inner sweeps run single-pass bf16 MXU matmuls BY DESIGN:
+            # the outer loop measures the true residual through the
+            # f64-accurate Ozaki apply and iterates until the reference
+            # criterion holds, so inner operator error only costs
+            # iterations, never accuracy (textbook mixed-precision IR).
+            # (The package default is 3-pass f32, laghos_tpu/__init__.py;
+            # this context opts just the inner solve back into speed.)
+            with jax.default_matmul_precision(self.opt.cg_ir_inner_mxu):
+                res = cg(apply32, r.astype(jnp.float32), inner_tol,
+                         inner_max, precond=prec32)
             dx = res.x.astype(f64)
             x = jnp.where(active[:, None], x + dx, x)
             r = rhs - apply_res(x)
@@ -849,6 +877,12 @@ class Hydro:
 
     def _force_transpose(self, sJit, v):
         d = self.dim
+        if isinstance(sJit, tuple) and len(sJit) == 4:
+            from .ops import lattice as lop
+
+            return lop.force_transpose_lattice_2d(
+                v, sJit, self._lat, self._lat_dims, self._edims,
+                self.tables)
         if isinstance(sJit, tuple) and sJit[0].ndim == 3:
             from .ops import lattice as lop
 

@@ -148,6 +148,106 @@ def force_one_lattice(sJ, TB, TG):
     return jnp.stack(ys, axis=0)
 
 
+def grad4_lattice(u2, TB, TG):
+    """All four first derivatives of a 2-vector lattice field.
+
+    u2: (2, Ly, Lx); TB/TG: per-axis (y, x) banded value/gradient
+    tables.  Returns tuple J[a*2+b] = d u_a / d xi_b on the q-lattice
+    with b = 0 the x direction (lattice axis 1), matching
+    grad9_lattice's convention."""
+    out = []
+    for a in range(2):
+        u = u2[a]
+        tyB = jnp.tensordot(u, TB[0], axes=[[0], [0]])   # (x, Qy)
+        tyG = jnp.tensordot(u, TG[0], axes=[[0], [0]])
+        d_x = jnp.tensordot(tyB, TG[1], axes=[[0], [0]])  # (Qy, Qx)
+        d_y = jnp.tensordot(tyG, TB[1], axes=[[0], [0]])
+        out += [d_x, d_y]
+    return tuple(out)
+
+
+def force_one_lattice_2d(sJ, TB, TG):
+    """(F . 1) on the H1 lattice from 2D q-lattice stress data.
+
+    sJ: 4-tuple sJit[gd*2+vd]; returns (2, Ly, Lx)."""
+    ys = []
+    for vd in range(2):
+        acc = None
+        for gd in range(2):
+            s = sJ[gd * 2 + vd]
+            Ty = TG[0] if gd == 1 else TB[0]
+            Tx = TG[1] if gd == 0 else TB[1]
+            t = jnp.tensordot(s, Ty, axes=[[0], [1]])    # (Qx, Ly)
+            t = jnp.tensordot(t, Tx, axes=[[0], [1]])    # (Ly, Lx)
+            acc = t if acc is None else acc + t
+        ys.append(acc)
+    return jnp.stack(ys, axis=0)
+
+
+def qlattice_to_eq_2d(q, dims, nq1):
+    """Dense q-lattice (Qy, Qx) -> per-element (NE, NQ)."""
+    ny, nx = dims[1], dims[0]
+    t = q.reshape(ny, nq1, nx, nq1)
+    t = jnp.transpose(t, (0, 2, 1, 3))
+    return t.reshape(ny * nx, nq1 ** 2)
+
+
+def eq_to_qlattice_2d(x, dims, nq1):
+    """Per-element (NE, NQ) -> dense q-lattice (Qy, Qx)."""
+    ny, nx = dims[1], dims[0]
+    t = x.reshape(ny, nx, nq1, nq1)
+    t = jnp.transpose(t, (0, 2, 1, 3))
+    return t.reshape(ny * nq1, nx * nq1)
+
+
+def qupdate2d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
+                      h1order, cfl, use_viscosity, use_vorticity):
+    """Whole-lattice 2D qupdate: banded-matmul gradients feeding the
+    scalarized 2D pointwise physics (ops/qphys.physics_2d).
+
+    Returns (sJit 4-tuple of q-lattice arrays, dt_est)."""
+    from . import qphys
+    from . import tensor
+
+    nq1 = tables["H1B"].shape[0]
+    l1d = tables["L2B"].shape[1]
+    TB, TG = lat["Ts"], lat["Tg"]
+    x2 = xL.reshape((2,) + tuple(lat_dims))
+    J4 = grad4_lattice(x2, TB, TG)
+    et = e_b.reshape((e_b.shape[0],) + (l1d,) * 2)
+    e_q = tensor.eval_values(et, tables["L2B"], 2).reshape(
+        e_b.shape[0], nq1 ** 2)
+    e_q = eq_to_qlattice_2d(e_q, edims, nq1)
+    if use_viscosity:
+        v2 = vL.reshape((2,) + tuple(lat_dims))
+        dV4 = grad4_lattice(v2, TB, TG)
+    else:
+        dV4 = tuple(jnp.zeros_like(e_q) for _ in range(4))
+    sJit4, dtq, _ = qphys.physics_2d(
+        J4, dV4, lat["J0i4"], e_q, lat["rw"], lat["gam"], lat["winv"],
+        h0_e=lat["h0e"], h1order=h1order, cfl=cfl,
+        use_viscosity=use_viscosity, use_vorticity=use_vorticity)
+    return sJit4, jnp.min(dtq)
+
+
+def force_transpose_lattice_2d(vL, sJ, lat, lat_dims, edims, tables):
+    """F^T . v from 2D q-lattice stress data: e_rhs (NE, ld)."""
+    from . import tensor
+
+    nq1 = tables["H1B"].shape[0]
+    v2 = vL.reshape((2,) + tuple(lat_dims))
+    dV4 = grad4_lattice(v2, lat["Ts"], lat["Tg"])
+    eq = None
+    for gd in range(2):
+        for vd in range(2):
+            term = dV4[vd * 2 + gd] * sJ[gd * 2 + vd]
+            eq = term if eq is None else eq + term
+    eq = qlattice_to_eq_2d(eq, edims, nq1)
+    et = eq.reshape((eq.shape[0],) + (nq1,) * 2)
+    out = tensor.eval_transpose(et, tables["L2B"].T, 2)
+    return out.reshape(eq.shape[0], -1)
+
+
 def qlattice_to_eq(q, dims, nq1):
     """Dense q-lattice (Qz, Qy, Qx) -> per-element (NE, NQ) (raster
     element order, lex qpoint order)."""
@@ -378,9 +478,9 @@ def build_lattice_ops(hydro):
             out["kron"] = tuple(jnp.asarray(Mk, hydro.dtype)
                                 for Mk in mats)
             out["kron_relerr"] = relerr
-    if d == 3:
-        # full lattice qupdate/force pipeline (3D only): gradient tables
-        # + every per-qpoint constant re-arranged onto the q-lattice
+    if d in (2, 3):
+        # full lattice qupdate/force pipeline: gradient tables + every
+        # per-qpoint constant re-arranged onto the q-lattice
         G = np.asarray(hydro.tables["H1G"], dtype=np.float64)
         nq1 = hydro.nq1
         NE, NQ = hydro.NE, hydro.NQ
@@ -397,7 +497,7 @@ def build_lattice_ops(hydro):
             (NE, NQ)))
         out["winv"] = ql(np.broadcast_to(1.0 / W[None, :], (NE, NQ)))
         out["h0e"] = ql(np.full((NE, NQ), float(hydro.h0)))
-        out["J0i9"] = tuple(
+        out["J0i" + ("9" if d == 3 else "4")] = tuple(
             ql(hydro.Jac0inv[..., a, b])
-            for a in range(3) for b in range(3))
+            for a in range(d) for b in range(d))
     return out

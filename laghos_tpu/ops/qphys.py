@@ -173,3 +173,95 @@ def _finish(J, st, visc, Jinv9, detJ, S, winv, *, h1order, cfl,
                    + stress[vd][2] * Jinv[gd][2]) * wd
             sJit.append(acc)
     return tuple(sJit), dtq, visc
+
+
+def physics_2d(J, dV, J0i, e_q, rw, gamma, winv, *, h0_e, h1order, cfl,
+               use_viscosity=True, use_vorticity=False):
+    """Scalarized 2D pointwise physics (whole-lattice variant).
+
+    J, dV, J0i: 4-tuples of per-point scalar arrays, row-major [a][b]
+    with b = 0 the x direction; e_q, rw, winv, h0_e scalar arrays.
+    Returns (sJit 4-tuple [gd*2+vd], dtq, visc).  Semantics mirror the
+    generic tensor path (ops/qupdate.qupdate, laghos_solver.cpp
+    QUpdateBody restricted to dim==2): closed-form 2x2 inverse/eig/
+    singular value via ops/smallmat's scalar kernels.
+    """
+    from .smallmat import eig2_smallest_scalar, min_sv2_scalar
+
+    (j00, j01, j10, j11) = J
+    detJ = j00 * j11 - j01 * j10
+    idet = 1.0 / detJ
+    i00, i01 = j11 * idet, -j01 * idet
+    i10, i11 = -j10 * idet, j00 * idet
+
+    R = rw * winv * idet
+    E = jnp.maximum(0.0, e_q)
+    P = (gamma - 1.0) * R * E
+    S = jnp.sqrt(gamma * (gamma - 1.0) * E)
+
+    visc = jnp.zeros_like(R)
+    st00 = -P
+    st11 = -P
+    st01 = jnp.zeros_like(P)
+    if use_viscosity:
+        (d00, d01, d10, d11) = dV
+        # physical velocity gradient sgrad = dV . Jinv
+        g00 = d00 * i00 + d01 * i10
+        g01 = d00 * i01 + d01 * i11
+        g10 = d10 * i00 + d11 * i10
+        g11 = d10 * i01 + d11 * i11
+
+        vorticity_coeff = 1.0
+        if use_vorticity:
+            fro = jnp.sqrt(g00**2 + g01**2 + g10**2 + g11**2)
+            div = jnp.abs(g00 + g11)
+            vorticity_coeff = jnp.where(
+                fro > 0.0, div / jnp.maximum(fro, 1e-300), 1.0)
+
+        s00, s11 = g00, g11
+        s01 = 0.5 * (g01 + g10)
+        mu, ex, ey = eig2_smallest_scalar(s00, s11, s01)
+
+        # Jpi = J . Jac0inv; ph = Jpi . e
+        (o00, o01, o10, o11) = J0i
+        p00 = j00 * o00 + j01 * o10
+        p01 = j00 * o01 + j01 * o11
+        p10 = j10 * o00 + j11 * o10
+        p11 = j10 * o01 + j11 * o11
+        phx = p00 * ex + p01 * ey
+        phy = p10 * ex + p11 * ey
+        h = (h0_e * jnp.sqrt(phx**2 + phy**2)
+             / jnp.sqrt(ex**2 + ey**2))
+
+        visc = 2.0 * R * h * h * jnp.abs(mu)
+        eps = 1e-12
+        y = (mu - 2.0 * eps + eps) / (2.0 * eps)
+        y = jnp.clip(y, jnp.zeros_like(y), jnp.ones_like(y))
+        step = (3.0 - 2.0 * y) * y * y
+        visc = visc + (0.5 * R * h * S * vorticity_coeff * (1.0 - step))
+
+        st00 = st00 + visc * s00
+        st11 = st11 + visc * s11
+        st01 = visc * s01
+
+    # dt estimate from the smallest singular value of J
+    sv = min_sv2_scalar(j00, j01, j10, j11)
+    h_min = sv / h1order
+    one = jnp.ones_like(sv)
+    ih = one / h_min
+    idt = S * ih + 2.5 * (visc / R) * ih * ih
+    inf = jnp.full_like(sv, jnp.inf)
+    dtq = jnp.where(idt > 0.0, cfl / jnp.where(idt > 0.0, idt, one), inf)
+    good = jnp.isfinite(detJ) & (detJ >= 0.0) & ~jnp.isnan(idt)
+    dtq = jnp.where(good, dtq, jnp.zeros_like(sv))
+
+    # sJit[gd*2+vd] = sum_k stress[vd,k] Jinv[gd,k] * w * detJ
+    wd = detJ / winv
+    stress = ((st00, st01), (st01, st11))
+    Jinv = ((i00, i01), (i10, i11))
+    sJit = []
+    for gd in range(2):
+        for vd in range(2):
+            sJit.append((stress[vd][0] * Jinv[gd][0]
+                         + stress[vd][1] * Jinv[gd][1]) * wd)
+    return tuple(sJit), dtq, visc

@@ -59,8 +59,15 @@ def _eig2_smallest(A: jnp.ndarray):
     internal::Eigensystem2S (Parlett's rotation), including the
     d12 == 0 tie-break with vec = (1, 0) when A[0,0] <= A[1,1].
     """
-    d1, d2 = A[..., 0, 0], A[..., 1, 1]
-    d12 = A[..., 0, 1]
+    lam_min, vx, vy = eig2_smallest_scalar(
+        A[..., 0, 0], A[..., 1, 1], A[..., 0, 1])
+    return lam_min, jnp.stack([vx, vy], axis=-1)
+
+
+def eig2_smallest_scalar(d1, d2, d12):
+    """Scalar-component form of _eig2_smallest (shared by the
+    whole-lattice 2D physics, ops/qphys.physics_2d): returns
+    (lam_min, vx, vy)."""
     sqrt_1_eps = jnp.sqrt(1.0 / jnp.finfo(jnp.float64).eps)
     zeta = (d2 - d1) / (2.0 * jnp.where(d12 == 0.0, 1.0, d12))
     azeta = jnp.abs(zeta)
@@ -82,7 +89,19 @@ def _eig2_smallest(A: jnp.ndarray):
     lam_min = jnp.where(first, e1, e2)
     vx = jnp.where(first, c, s)
     vy = jnp.where(first, -s, c)
-    return lam_min, jnp.stack([vx, vy], axis=-1)
+    return lam_min, vx, vy
+
+
+def min_sv2_scalar(a, b, c, dd):
+    """Scalar-component 2x2 smallest singular value (same stable
+    closed form as min_singular_value's d == 2 branch)."""
+    E = (a + dd) / 2.0
+    F = (a - dd) / 2.0
+    G = (c + b) / 2.0
+    H = (c - b) / 2.0
+    Q = jnp.hypot(E, H)
+    R = jnp.hypot(F, G)
+    return jnp.abs(Q - R)
 
 
 def _jacobi_rotation(app, aqq, apq, inv=None):
@@ -211,15 +230,8 @@ def min_singular_value(J: jnp.ndarray, d: int) -> jnp.ndarray:
         # which is the state of every undisturbed element): with
         # E,F = (a±d)/2 and G,H = (c±b)/2, the singular values are
         # |Q±R| for Q = |(E,H)|, R = |(F,G)|.
-        a, b = J[..., 0, 0], J[..., 0, 1]
-        c, dd = J[..., 1, 0], J[..., 1, 1]
-        E = (a + dd) / 2.0
-        F = (a - dd) / 2.0
-        G = (c + b) / 2.0
-        H = (c - b) / 2.0
-        Q = jnp.hypot(E, H)
-        R = jnp.hypot(F, G)
-        return jnp.abs(Q - R)
+        return min_sv2_scalar(J[..., 0, 0], J[..., 0, 1],
+                              J[..., 1, 0], J[..., 1, 1])
     JtJ = jnp.einsum("...ka,...kb->...ab", J, J)
     lam_min = _eig3_values_min(JtJ)
     return jnp.sqrt(jnp.maximum(lam_min, 0.0))

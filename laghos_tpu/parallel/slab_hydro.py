@@ -184,7 +184,10 @@ class SlabHydro:
         # applies locally with the SAME plane halo exchange — multi-chip
         # inherits the full single-chip kernel work
         self.lat = None
-        if getattr(h, "_latq", False):
+        # (3D only here: the 2D whole-lattice qupdate landed later and
+        # the per-block halo chains are specialized to the 3D tables;
+        # 2D slabs keep the E-form kernels)
+        if getattr(h, "_latq", False) and h.dim == 3:
             from ..ops import lattice as lop
 
             nq1 = h.nq1
