@@ -64,10 +64,32 @@ def _q_body(h, s, eps):
 
 def measure(rs, ok, ot, dts, *, use_ozaki=False, ode_s=4, cgt=None,
             use_pallas=False, warm=False, warm_steps=30, iters=50,
-            precond="auto", tag=""):
+            precond="auto", mxu=None, tag=""):
     """One FOM row: build the Hydro, sample a short real trajectory,
     micro-benchmark the three phases with on-device loops, assemble the
-    reference FOM formulas.  Returns the row as a JSON-ready dict."""
+    reference FOM formulas.  Returns the row as a JSON-ready dict.
+
+    mxu="bf16" runs every float matmul as ONE bf16 MXU pass (~2.6e-3
+    operator error, reported honestly in the row label and drift) —
+    the TPU-native mixed-precision speed mode.  The package default is
+    3-pass f32 (laghos_tpu/__init__.py), so plain rows measure what
+    their dtype label claims."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    prec_ctx = (jax.default_matmul_precision("bfloat16") if mxu == "bf16"
+                else contextlib.nullcontext())
+    with prec_ctx:
+        return _measure_body(
+            rs, ok, ot, dts, use_ozaki=use_ozaki, ode_s=ode_s, cgt=cgt,
+            use_pallas=use_pallas, warm=warm, warm_steps=warm_steps,
+            iters=iters, precond=precond, mxu=mxu, tag=tag)
+
+
+def _measure_body(rs, ok, ot, dts, *, use_ozaki, ode_s, cgt, use_pallas,
+                  warm, warm_steps, iters, precond, mxu, tag):
     import jax
     import jax.numpy as jnp
 
@@ -175,7 +197,8 @@ def measure(rs, ok, ot, dts, *, use_ozaki=False, ode_s=4, cgt=None,
     return {
         "row": tag,
         "metric": (f"3D Sedov Q{ok}-Q{ot} FOM (rs{rs}, NE={h.NE}, "
-                   f"{dts}{'+ozaki' if use_ozaki else ''}"
+                   f"{'bf16-MXU' if mxu == 'bf16' else dts}"
+                   f"{'+ozaki' if use_ozaki else ''}"
                    f"{'+pallas' if use_pallas else ''}"
                    f"{'+rk2avg' if ode_s == 7 else ''}"
                    f"{'' if precond in ('jacobi',) else '+' + precond}"
@@ -191,6 +214,9 @@ def measure(rs, ok, ot, dts, *, use_ozaki=False, ode_s=4, cgt=None,
         "step_ms": round((t_cg + t_f + t_q) * rk_stages * 1e3, 4),
         "cg_iters_per_solve": round(float(cg_iters_per_solve), 2),
         "precond": precond,
+        "mxu": (mxu if mxu else
+                "f32x3" if dts == "f32" else
+                "int8-ozaki" if use_ozaki else "vpu-f64"),
         "energy_drift_rel": float(f"{drift:.3e}"),
         "cg_tol": opt.cg_tol,
         "steps_sampled": steps,
@@ -206,12 +232,21 @@ def measure(rs, ok, ot, dts, *, use_ozaki=False, ode_s=4, cgt=None,
 # high-order at a production element count (NE=4096, 6.4M H1 dofs).
 ROWS = {
     # parity accounting: jacobi CG like the reference, so FOM1's
-    # iteration count means the same thing as laghos_solver.cpp:722
-    "headline": dict(rs=4, ok=2, ot=1, dts="f32", precond="jacobi"),
+    # iteration count means the same thing as laghos_solver.cpp:722.
+    # mxu="bf16" = single-pass MXU matmuls: this is what rounds 1-2
+    # measured while LABELED f32 (JAX's TPU default precision is bf16);
+    # round 3 keeps the row for continuity but labels it honestly, and
+    # adds the strict-f32 row below.
+    "headline": dict(rs=4, ok=2, ot=1, dts="f32", precond="jacobi",
+                     mxu="bf16"),
+    # strict f32: 3-pass MXU matmuls, the accuracy the dtype label
+    # claims (package default, laghos_tpu/__init__.py)
+    "f32": dict(rs=4, ok=2, ot=1, dts="f32", precond="jacobi"),
     # the fast production mode: Kronecker-exact mass preconditioner
-    # (1-3 CG iterations/solve on raster meshes) — lower FOM by
+    # (1-4 CG iterations/solve on raster meshes) — lower FOM by
     # construction (fewer iterations counted), lower step_ms
-    "fast": dict(rs=4, ok=2, ot=1, dts="f32", precond="auto"),
+    "fast": dict(rs=4, ok=2, ot=1, dts="f32", precond="auto",
+                 mxu="bf16"),
     # conservation rows run cg_tol 1e-11: the IR solver stops exactly at
     # its criterion (no Krylov-orthogonal residual cancellation against
     # v like a straight CG), so meeting drift <= 1e-12 needs the
@@ -243,6 +278,42 @@ def main():
 
     only = os.environ.get("BENCH_ONLY", "")
     names = [only] if only else list(ROWS)
+
+    # Robustness: by default each row runs in its own subprocess with a
+    # per-row timeout, so one pathologically slow compile (q8 cold-cache
+    # was measured > 50 min through the remote TPU compiler) degrades to
+    # an error entry instead of killing the whole bench with no JSON
+    # output.  The persistent compile cache makes warm re-runs fast.
+    if not only and os.environ.get("BENCH_SUBPROCESS_ROWS", "1") == "1":
+        import subprocess
+
+        row_timeout = float(os.environ.get("BENCH_ROW_TIMEOUT", "2400"))
+        rows = []
+        for name in names:
+            env = dict(os.environ, BENCH_ONLY=name, BENCH_ROW_JSON="1",
+                       BENCH_SUBPROCESS_ROWS="0")
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True, timeout=row_timeout)
+                sys.stderr.write(p.stderr)
+                line = (p.stdout.strip().splitlines() or ["{}"])[-1]
+                row = json.loads(line)
+                if "row" not in row:
+                    row = {"row": name,
+                           "error": f"rc={p.returncode}, no row JSON"}
+                rows.append(row)
+            except subprocess.TimeoutExpired as e:
+                if e.stderr:
+                    sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                     else e.stderr.decode())
+                rows.append({"row": name,
+                             "error": f"timeout after {row_timeout:.0f}s"})
+            except Exception as e:
+                rows.append({"row": name,
+                             "error": f"{type(e).__name__}: {e}"})
+        _emit(rows)
+        return
     common = dict(
         warm_steps=int(os.environ.get("BENCH_STEPS", "30")),
         # dispatch through the axon tunnel costs ~25-30 ms per program
@@ -274,6 +345,13 @@ def main():
                   file=sys.stderr)
             rows.append({"row": name, "error": f"{type(e).__name__}: {e}"})
 
+    if only and os.environ.get("BENCH_ROW_JSON") == "1":
+        print(json.dumps(rows[0]))
+        return
+    _emit(rows)
+
+
+def _emit(rows):
     head = next((r for r in rows if r["row"] == "headline" and "value" in r),
                 next((r for r in rows if "value" in r), rows[0]))
     out = dict(head)

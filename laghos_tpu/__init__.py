@@ -18,5 +18,12 @@ so importing this package enables jax x64 mode.
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# On TPU the DEFAULT matmul precision is one bf16 MXU pass (~2.6e-3
+# relative error on f32 inputs) — silently wrong for a solver whose f32
+# mode advertises f32 accuracy.  Pin 3-pass f32 everywhere; the bench's
+# explicitly-labeled bf16 speed rows opt back in with
+# jax.default_matmul_precision("bfloat16").  (No effect on CPU f64 runs
+# or on the int8-MXU Ozaki path, which controls its own dots.)
+jax.config.update("jax_default_matmul_precision", "float32")
 
 __version__ = "0.1.0"

@@ -112,6 +112,12 @@ def build_parser():
                         "math; f64 trajectories match the host loop "
                         "exactly, f32 to compilation-rounding level.")
     p.add_argument("--dtype", default="f64", choices=["f64", "f32"])
+    p.add_argument("--mxu", default="f32", choices=["f32", "bf16"],
+                   help="TPU matmul precision for f32 data: f32 = 3-pass"
+                        " MXU (accurate, the package default); bf16 ="
+                        " single pass (~2.6e-3 operator error, ~12x"
+                        " faster qupdate at rs4 — the speed mode the"
+                        " bench's bf16-MXU rows measure)")
     p.add_argument("--ozaki", action="store_true", dest="ozaki",
                    help="f64 TPU production mode: hot contractions as "
                         "int8-MXU integer-slice matmuls (3D PA only)")
@@ -228,6 +234,8 @@ def main(argv=None):
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    if args.mxu == "bf16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     # persistent compile cache (first full-step compile is 20-40 s on
     # TPU, minutes at scale; cached reruns start in seconds)
     try:

@@ -174,10 +174,23 @@ def segment_loop(qupd, step, guard, dtype, S, t, dt, ti, steps, sj,
       qupd(S)                 -> (sJit, dt_min)
       step(S, dt_eff, sJit1)  -> (S_new, dt_acc, (h1_iters, l2_iters))
       guard(S_new, dt_est)    -> dt_est (0 on non-finite state)
+
+    The body is a FIXED POINT once done/crashed/paused: under jax.vmap
+    (batch.sweep's parameter sweeps) the batched while_loop keeps
+    executing the body for every member until the LAST one stops, so
+    finished members must pass through unchanged.  (In unbatched use
+    the cond already prevents this; the selects are free.)
     """
     eps = np.finfo(np.float64).eps
 
     def attempt(carry):
+        stopped = carry[7] | carry[8] | carry[11]
+        new = _attempt_body(carry)
+        # scalar `stopped` broadcasts against every carry leaf
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stopped, a, b), carry, new)
+
+    def _attempt_body(carry):
         (S, t, dt, ti, steps, sj, cs1, done, crashed, h1a, l2a,
          pause) = carry
         last = jnp.logical_or(t + dt >= t_final, steps == max_steps)
