@@ -24,6 +24,7 @@ vs_baseline is null until a measured Laghos-CUDA number exists.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -213,6 +214,12 @@ def _measure_body(rs, ok, ot, dts, *, use_ozaki, ode_s, cgt, use_pallas,
         # actual speed, FOM for reference-accounting parity.
         "step_ms": round((t_cg + t_f + t_q) * rk_stages * 1e3, 4),
         "cg_iters_per_solve": round(float(cg_iters_per_solve), 2),
+        # FOM1 caveat: the mixed-precision IR velocity solver reports
+        # total OPERATOR APPLIES as its iteration count (hydro.py
+        # _cg_velocity_ir), so FOM1 is not cross-comparable with the
+        # jacobi-CG rows; step_ms is the cross-comparable figure.
+        **({"iters_meaning": "operator applies (IR solver)"}
+           if use_ozaki else {}),
         "precond": precond,
         "mxu": (mxu if mxu else
                 "f32x3" if dts == "f32" else
@@ -230,6 +237,12 @@ def _measure_body(rs, ok, ot, dts, *, use_ozaki, ode_s, cgt, use_pallas,
 # BASELINE.json north-star rows (f64-class accuracy via int8-MXU Ozaki
 # lattice chains, RK2Avg energy conservation <= ~1e-12); `q8` shows
 # high-order at a production element count (NE=4096, 6.4M H1 dofs).
+#
+# Execution order puts the north-star self-certification rows FIRST so
+# that a driver-budget timeout can never lose them (round 3 lost all
+# rows to a global timeout: BENCH_r03.json rc=124, parsed=null).
+ROW_ORDER = ["ns2", "ns4", "headline", "fast", "f32", "q8"]
+
 ROWS = {
     # parity accounting: jacobi CG like the reference, so FOM1's
     # iteration count means the same thing as laghos_solver.cpp:722.
@@ -260,6 +273,102 @@ ROWS = {
 }
 
 
+def _run_rows_subprocess(names):
+    """Budgeted row-per-subprocess runner.
+
+    Guarantees a parseable aggregate JSON line on stdout no matter how
+    the driver ends the bench:
+    - a global deadline (env BENCH_DEADLINE, default 1000 s) is checked
+      before every row; rows that don't fit are emitted as skipped;
+    - each row's timeout is clamped so the parent regains control and
+      emits BEFORE an outer `timeout` would SIGKILL it;
+    - SIGTERM/SIGINT (what `timeout` sends first) kill the in-flight
+      row, emit the aggregate from completed rows, and exit.
+    Partial progress is also mirrored to BENCH_PARTIAL.json after every
+    row for inspection.
+    """
+    import subprocess
+
+    t0 = time.time()
+    deadline = t0 + float(os.environ.get("BENCH_DEADLINE", "1000"))
+    row_timeout_cfg = float(os.environ.get("BENCH_ROW_TIMEOUT", "2400"))
+    rows = []
+    state = {"proc": None, "current": None, "done": False}
+
+    def _finish(interrupted=None):
+        if state["done"]:
+            return
+        state["done"] = True
+        out = list(rows)
+        if interrupted is not None:
+            out.append({"row": interrupted, "error": "interrupted (SIGTERM)"})
+        done_names = {r.get("row") for r in out}
+        for n in names:
+            if n not in done_names:
+                out.append({"row": n, "skipped": "deadline budget exhausted"})
+        _emit(out)
+        sys.stdout.flush()
+
+    def _on_term(signum, frame):
+        p = state["proc"]
+        if p is not None and p.poll() is None:
+            try:
+                p.kill()
+            except Exception:
+                pass
+        _finish(interrupted=state["current"])
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    for name in names:
+        remaining = deadline - time.time()
+        if remaining < 45:
+            rows.append({"row": name, "skipped":
+                         f"deadline ({remaining:.0f}s left in budget)"})
+            continue
+        row_timeout = min(row_timeout_cfg, remaining)
+        env = dict(os.environ, BENCH_ONLY=name, BENCH_ROW_JSON="1",
+                   BENCH_SUBPROCESS_ROWS="0")
+        state["current"] = name
+        try:
+            p = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            state["proc"] = p
+            try:
+                out, err = p.communicate(timeout=row_timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, err = p.communicate()
+                sys.stderr.write(err or "")
+                rows.append({"row": name,
+                             "error": f"timeout after {row_timeout:.0f}s"})
+                continue
+            finally:
+                state["proc"] = None
+            sys.stderr.write(err or "")
+            line = ((out or "").strip().splitlines() or ["{}"])[-1]
+            try:
+                row = json.loads(line)
+            except Exception:
+                row = {}
+            if "row" not in row:
+                row = {"row": name,
+                       "error": f"rc={p.returncode}, no row JSON"}
+            rows.append(row)
+        except Exception as e:
+            rows.append({"row": name, "error": f"{type(e).__name__}: {e}"})
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_PARTIAL.json"), "w") as fp:
+                json.dump(rows, fp)
+        except Exception:
+            pass
+    _finish()
+
+
 def main():
     import jax
 
@@ -277,7 +386,7 @@ def main():
         pass
 
     only = os.environ.get("BENCH_ONLY", "")
-    names = [only] if only else list(ROWS)
+    names = [only] if only else list(ROW_ORDER)
 
     # Robustness: by default each row runs in its own subprocess with a
     # per-row timeout, so one pathologically slow compile (q8 cold-cache
@@ -285,41 +394,14 @@ def main():
     # an error entry instead of killing the whole bench with no JSON
     # output.  The persistent compile cache makes warm re-runs fast.
     if not only and os.environ.get("BENCH_SUBPROCESS_ROWS", "1") == "1":
-        import subprocess
-
-        row_timeout = float(os.environ.get("BENCH_ROW_TIMEOUT", "2400"))
-        rows = []
-        for name in names:
-            env = dict(os.environ, BENCH_ONLY=name, BENCH_ROW_JSON="1",
-                       BENCH_SUBPROCESS_ROWS="0")
-            try:
-                p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)], env=env,
-                    capture_output=True, text=True, timeout=row_timeout)
-                sys.stderr.write(p.stderr)
-                line = (p.stdout.strip().splitlines() or ["{}"])[-1]
-                row = json.loads(line)
-                if "row" not in row:
-                    row = {"row": name,
-                           "error": f"rc={p.returncode}, no row JSON"}
-                rows.append(row)
-            except subprocess.TimeoutExpired as e:
-                if e.stderr:
-                    sys.stderr.write(e.stderr if isinstance(e.stderr, str)
-                                     else e.stderr.decode())
-                rows.append({"row": name,
-                             "error": f"timeout after {row_timeout:.0f}s"})
-            except Exception as e:
-                rows.append({"row": name,
-                             "error": f"{type(e).__name__}: {e}"})
-        _emit(rows)
+        _run_rows_subprocess(names)
         return
     common = dict(
-        warm_steps=int(os.environ.get("BENCH_STEPS", "30")),
+        warm_steps=int(os.environ.get("BENCH_STEPS", "15")),
         # dispatch through the axon tunnel costs ~25-30 ms per program
-        # launch; 50-iteration on-device loops keep that overhead under
-        # 2%% of every phase measurement
-        iters=int(os.environ.get("BENCH_ITERS", "50")),
+        # launch; 20-iteration on-device loops keep that overhead under
+        # 5%% of every phase measurement (median-of-3 absorbs the rest)
+        iters=int(os.environ.get("BENCH_ITERS", "20")),
         warm=os.environ.get("BENCH_WARM", "0") == "1",
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
     )
@@ -353,7 +435,10 @@ def main():
 
 def _emit(rows):
     head = next((r for r in rows if r["row"] == "headline" and "value" in r),
-                next((r for r in rows if "value" in r), rows[0]))
+                next((r for r in rows if "value" in r), None))
+    if head is None:  # no row completed: still emit a parseable line
+        head = {"metric": "3D Sedov FOM (no row completed in budget)",
+                "value": None, "unit": "megadofs*steps/s"}
     out = dict(head)
     out["vs_baseline"] = None
     out["rows"] = rows
