@@ -46,7 +46,11 @@ def build_parser():
     p.add_argument("-cgt", "--cg-tol", type=float, default=1e-8,
                    dest="cg_tol")
     p.add_argument("-ftz", "--ftz-tol", type=float, default=0.0,
-                   dest="ftz_tol")
+                   dest="ftz_tol",
+                   help="accepted for reference CLI parity but "
+                        "numerically dead, exactly like the reference "
+                        "(laghos.cpp:233 parses it and never uses it; "
+                        "the PA force flush-to-zero is hardcoded eps^2)")
     p.add_argument("-dtol", "--delta-tol", type=float, default=1e-12,
                    dest="delta_tol")
     p.add_argument("-cgm", "--cg-max-steps", type=int, default=300,

@@ -47,7 +47,13 @@ class Options:
     cfl: float = 0.5
     cg_tol: float = 1e-8      # -cgt
     cg_max_iter: int = 300    # -cgm
-    ftz_tol: float = 0.0      # -ftz (unused on PA path, like the reference)
+    ftz_tol: float = 0.0      # -ftz: parsed + recorded but numerically
+                              # DEAD, faithfully mirroring the reference
+                              # (laghos.cpp:233 parses it; grep shows no
+                              # use beyond ctor storage + adiak record —
+                              # the PA force kernels flush at a
+                              # hardcoded eps^2, laghos_assembly.cpp:278,
+                              # matched by Hydro.ftz_eps2 below)
     p_assembly: bool = True   # -pa / -fa
     fa_assembled: bool = True  # -fa velocity CG through the globally
                                # assembled sparse mass matrix (the

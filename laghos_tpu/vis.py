@@ -14,8 +14,10 @@ high-order `nodes` section carrying the CURRENT (deformed) kinematic
 coordinates, and grid functions are emitted in MFEM's global dof
 numbering (vertex dofs, then edge dofs in min->max vertex direction,
 then face/interior dofs — rebuilt here from the element connectivity,
+including MFEM's quad-face orientation dof permutations at any order,
 see `mfem_h1_dofs`).  GLVis therefore renders the moving high-order
-mesh exactly as it renders the reference's.
+mesh exactly as it renders the reference's (whose VisualizeField
+streams any order, laghos_solver.cpp:43-94).
 """
 
 from __future__ import annotations
@@ -48,12 +50,18 @@ def _enumerate_edges(mesh):
 
 
 def _enumerate_faces(mesh):
+    """Face ids + stored vertex orderings by first appearance over
+    (element, local face) — MFEM's GenerateFaces/GetElementToFaceTable
+    order: the generating element's local face vertex list (hex FaceVert
+    table, = _HEX_FACES) becomes the face's stored orientation.
+    Returns {frozenset(verts): (id, (v0, v1, v2, v3))}."""
     faces = {}
     for row in mesh.elems:
         for quad in _HEX_FACES:
-            key = frozenset(int(row[a]) for a in quad)
+            verts = tuple(int(row[a]) for a in quad)
+            key = frozenset(verts)
             if key not in faces:
-                faces[key] = len(faces)
+                faces[key] = (len(faces), verts)
     return faces
 
 
@@ -64,15 +72,17 @@ def mfem_h1_dofs(space):
     `mfem_values[i] = our_values[ours_of_mfem[i]]`.  MFEM global H1
     dofs are ordered: all vertex dofs (by vertex id), then per-edge
     interior dofs (edges by first-appearance order, dofs running from
-    the lower- to the higher-numbered vertex), then quad-face dofs
-    (3D), then element-interior dofs in local lex order.  Face dofs
-    are supported for p <= 2 (single orientation-free center dof);
-    higher 3D orders would need MFEM's face-orientation permutations.
+    the lower- to the higher-numbered vertex), then quad-face interior
+    dofs (3D; lexicographic in the STORED face's frame — s along
+    v0->v1 running fastest, t along v0->v3 — so an element seeing the
+    face in another orientation maps its local lattice coordinates
+    through the dihedral transform, which is exactly what MFEM's
+    H1_FECollection::DofOrderForOrientation permutations encode), then
+    element-interior dofs in local lex order.  Cross-element
+    consistency of shared face dofs is asserted below.
     """
     mesh, p = space.mesh, space.p
     d, nv = mesh.dim, mesh.num_verts
-    if d == 3 and p > 2:
-        raise NotImplementedError("3D H1 GLVis output supports p <= 2")
     n1 = p + 1
     edges = _enumerate_edges(mesh)
     n_edofs = len(edges) * (p - 1)
@@ -108,21 +118,45 @@ def mfem_h1_dofs(space):
                 eidx = edges[frozenset((v0, v1))]
                 t = ic[dd] if v0 < v1 else p - ic[dd]
                 g = nv + eidx * (p - 1) + (t - 1)
-            elif d == 3 and len(free) == 2:                 # face dof (p=2)
+            elif d == 3 and len(free) == 2:                 # face dof
                 dd = [k for k in range(d) if k not in free][0]
+                f0, f1 = free
                 base = bits[dd] << dd
                 quad = [base,
-                        base | (1 << free[0]),
-                        base | (1 << free[0]) | (1 << free[1]),
-                        base | (1 << free[1])]
-                key = frozenset(int(cl[c]) for c in quad)
-                g = off_face + faces[key]                   # p=2: 1 dof
+                        base | (1 << f0),
+                        base | (1 << f0) | (1 << f1),
+                        base | (1 << f1)]
+                gids = [int(cl[c]) for c in quad]
+                fidx, stored = faces[frozenset(gids)]
+                # this element's face coordinates: (a, b) with corner
+                # k of `quad` at AB[k]
+                a, b = int(ic[f0]), int(ic[f1])
+                AB = ((0, 0), (p, 0), (p, p), (0, p))
+                pos = {g_: k for k, g_ in enumerate(gids)}
+                o = AB[pos[stored[0]]]          # stored v0 in (a,b)
+
+                def _along(to):
+                    """Dof coordinate along the stored-face axis
+                    o -> to, expressed in this element's (a, b)."""
+                    if to[0] != o[0]:
+                        return a if to[0] > o[0] else p - a
+                    return b if to[1] > o[1] else p - b
+
+                s = _along(AB[pos[stored[1]]])  # v0 -> v1 (fastest)
+                t = _along(AB[pos[stored[3]]])  # v0 -> v3
+                g = (off_face + fidx * (p - 1) ** 2
+                     + (t - 1) * (p - 1) + (s - 1))
             else:                                           # interior dof
                 loc = 0
                 for k in reversed(free):
                     loc = loc * (p - 1) + (ic[k] - 1)
                 g = off_int + e * nint + loc
-            ours_of_mfem[g] = space.gather[e, n]
+            mine = space.gather[e, n]
+            # shared dofs (vertex/edge/face) must resolve identically
+            # from every element that touches them — this is the
+            # orientation-permutation consistency gate
+            assert ours_of_mfem[g] in (-1, mine), (e, n, g)
+            ours_of_mfem[g] = mine
     assert (ours_of_mfem >= 0).all()
     return ours_of_mfem
 

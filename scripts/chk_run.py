@@ -81,4 +81,4 @@ if __name__ == "__main__":
     problem = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     pa = "--fa" not in sys.argv
-    run_check(problem, dim, pa=pa)
+    sys.exit(0 if run_check(problem, dim, pa=pa) else 1)

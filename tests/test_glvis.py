@@ -166,3 +166,96 @@ def test_gridfunction_header():
                           "FiniteElementCollection: L2_T2_2D_P1\n"
                           "VDim: 1\nOrdering: 0\n\n")
     assert txt.strip().endswith("3.0")
+
+
+def _rotated_two_hex_mesh():
+    """Two unit hexes sharing the x=1 face, the second with its local
+    frame rotated 90 deg about x — the shared quad face is traversed in
+    DIFFERENT orientations by the two elements, exercising the
+    face-orientation dof permutations (MFEM DofOrderForOrientation)."""
+    xs, ys, zs = np.meshgrid(np.arange(3.0), np.arange(2.0),
+                             np.arange(2.0), indexing="ij")
+    verts = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+    # vid(x, y, z) = z + 2*y + 4*x with this meshgrid flattening
+    def vid(x, y, z):
+        return z + 2 * y + 4 * x
+    hexA = [vid(0, 0, 0), vid(1, 0, 0), vid(1, 1, 0), vid(0, 1, 0),
+            vid(0, 0, 1), vid(1, 0, 1), vid(1, 1, 1), vid(0, 1, 1)]
+    # hex B: local corner (i,j,k) at physical (1+i, k, 1-j)
+    def bvid(i, j, k):
+        return vid(1 + i, k, 1 - j)
+    hexB = [bvid(0, 0, 0), bvid(1, 0, 0), bvid(1, 1, 0), bvid(0, 1, 0),
+            bvid(0, 0, 1), bvid(1, 0, 1), bvid(1, 1, 1), bvid(0, 1, 1)]
+    elems = np.array([hexA, hexB], dtype=np.int32)
+    return fmesh.Mesh(dim=3, verts=verts, elems=elems,
+                      bdr_verts=np.zeros((0, 4), np.int32),
+                      bdr_attr=np.zeros((0,), np.int32))
+
+
+@pytest.mark.parametrize("p", [3, 4])
+def test_mfem_numbering_face_orientation(p):
+    """Nontrivially-oriented shared quad face: every shared face dof
+    must resolve to the same local dof from both elements (asserted
+    inside mfem_h1_dofs) and the map must stay a bijection."""
+    m = _rotated_two_hex_mesh()
+    sp = build_h1_space(m, p)
+    perm = mfem_h1_dofs(sp)
+    assert np.array_equal(np.sort(perm), np.arange(sp.ndof))
+    # geometric sanity: face-interior dofs of the shared face lie on
+    # the x=1 plane, and their mfem ordering walks the stored face's
+    # frame (s fastest): consecutive dofs differ in exactly one
+    # in-plane coordinate
+    from laghos_tpu.vis import _enumerate_edges, _enumerate_faces
+
+    nv = m.num_verts
+    n_ed = len(_enumerate_edges(m))
+    faces = _enumerate_faces(m)
+    shared = [v for v in faces.values()
+              if np.allclose(m.verts[list(v[1])][:, 0], 1.0)]
+    assert len(shared) == 1
+    fidx, stored = shared[0]
+    off = nv + n_ed * (p - 1) + fidx * (p - 1) ** 2
+    pts = sp.node_coords[perm[off:off + (p - 1) ** 2]]
+    assert np.allclose(pts[:, 0], 1.0)
+    # s runs fastest along stored v0 -> v1
+    a = m.verts[stored[0]]
+    b = m.verts[stored[1]]
+    srow = pts[: p - 1]
+    tvals = (srow - a) @ (b - a)
+    assert np.all(np.diff(tvals) > 0)
+
+
+def test_mfem_numbering_bijection_3d_p4():
+    m = fmesh.load_mfem_mesh("/root/reference/data/cube01_hex.mesh")
+    sp = build_h1_space(m, 4)
+    perm = mfem_h1_dofs(sp)
+    assert np.array_equal(np.sort(perm), np.arange(sp.ndof))
+
+
+def test_glvis_stream_3d_q4():
+    """A streamed 3D Q4-Q3 field against the fake server — the
+    reference's VisualizeField streams any order
+    (laghos_solver.cpp:43-94)."""
+    import time
+
+    m = fmesh.cartesian(3, (1, 1, 1), (1.0, 1.0, 1.0))
+    h = Hydro(m, Options(problem=1, blast_energy=2.0, order_v=4,
+                         order_e=3))
+    cap = _Capture()
+    cap.start()
+    sess = GLVisSession(h, "127.0.0.1", cap.port)
+    sess.step(h.S0)
+    sess.close()
+    for _ in range(50):
+        with cap.lock:
+            if len(cap.streams) == 3 and all(cap.streams):
+                break
+        time.sleep(0.1)
+    cap.stop()
+    texts = [s.decode() for s in cap.streams]
+    assert len(texts) == 3
+    vel = [t for t in texts if "H1_3D_P4\nVDim: 3\nOrdering: 0" in t]
+    assert len(vel) == 1
+    tail = vel[0].split("Ordering: 0\n\n", 1)[1]
+    vals = [float(x) for x in tail.split("window_title")[0].split()]
+    assert len(vals) == 3 * h.ndof
