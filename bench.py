@@ -397,11 +397,14 @@ def main():
         _run_rows_subprocess(names)
         return
     common = dict(
-        warm_steps=int(os.environ.get("BENCH_STEPS", "15")),
+        warm_steps=int(os.environ.get("BENCH_STEPS", "30")),
         # dispatch through the axon tunnel costs ~25-30 ms per program
-        # launch; 20-iteration on-device loops keep that overhead under
-        # 5%% of every phase measurement (median-of-3 absorbs the rest)
-        iters=int(os.environ.get("BENCH_ITERS", "20")),
+        # launch; 50-iteration on-device loops keep that overhead under
+        # 2%% of every phase measurement.  (Loop length is nearly free:
+        # row cost is dominated by compiles, which the deadline and the
+        # persistent cache handle — round-4 measured 20-iter loops
+        # inflating 4 ms phases by ~20%, so they stay at 50.)
+        iters=int(os.environ.get("BENCH_ITERS", "50")),
         warm=os.environ.get("BENCH_WARM", "0") == "1",
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
     )
@@ -420,6 +423,8 @@ def main():
                 cfg["ode_s"] = int(os.environ["BENCH_S"])
             if "BENCH_CGT" in os.environ:
                 cfg["cgt"] = float(os.environ["BENCH_CGT"])
+            if "BENCH_PRECOND" in os.environ:
+                cfg["precond"] = os.environ["BENCH_PRECOND"]
         try:
             rows.append(measure(tag=name, **cfg, **common))
         except Exception as e:  # one row failing must not kill the bench

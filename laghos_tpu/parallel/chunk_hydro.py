@@ -268,7 +268,8 @@ class ChunkHydro:
                 sJit, dtm = qop.qupdate3d(
                     x_e, v_e, Sc["e"], gamma, rw, J0i9, h.tables, h.h0,
                     h1order=float(opt.order_v), cfl=opt.cfl,
-                    use_viscosity=h.use_visc, use_vorticity=h.use_vort)
+                    use_viscosity=h.use_visc, use_vorticity=h.use_vort,
+                    oz=None if h.oz is None else h.oz["qup"])
             else:
                 sJit, dtm = qop.qupdate(
                     x_e, v_e, Sc["e"], gamma, rw, J0i, h.tables, h.h0,
@@ -279,14 +280,22 @@ class ChunkHydro:
         def mass_apply(u):
             ue = jnp.swapaxes(gather_e(u), 0, 1)
             ue = mop.mass_apply_e(ue, massD, h.tables["H1B"], d,
-                                  Bd=h.tables.get("H1Bd"))
+                                  Bd=h.tables.get("H1Bd"),
+                                  oz=None if h.oz is None else h.oz["h1"])
             y = assemble(ue)
             return jnp.where(ess, 0.0, y)
 
         def force_rhs(sJit):
             if isinstance(sJit, tuple):
-                Fone = fop.force_mult9(one_l2, sJit, h.tables,
-                                       ftz_eps2=h.ftz_eps2)
+                if h.oz is not None:
+                    # f64 production mode: E-form int8-MXU Ozaki
+                    # contractions per chunk (the same per-rank kernels
+                    # as the conforming Hydro, laghos_solver.cpp:362)
+                    Fone = fop.force_mult9_oz(one_l2, sJit, h.oz["force"],
+                                              ftz_eps2=h.ftz_eps2)
+                else:
+                    Fone = fop.force_mult9(one_l2, sJit, h.tables,
+                                           ftz_eps2=h.ftz_eps2)
             else:
                 Fone = fop.force_mult(one_l2, sJit, h.tables, dim=d,
                                       ftz_eps2=h.ftz_eps2)
@@ -304,6 +313,9 @@ class ChunkHydro:
         def force_T(sJit, v):
             v_e = gather_e(v)
             if isinstance(sJit, tuple):
+                if h.oz is not None:
+                    return fop.force_mult_transpose9_oz(v_e, sJit,
+                                                        h.oz["forceT"])
                 return fop.force_mult_transpose9(v_e, sJit, h.tables)
             return fop.force_mult_transpose(v_e, sJit, h.tables, dim=d)
 
@@ -334,8 +346,10 @@ class ChunkHydro:
 
             def apply_A(u):
                 ue = u.reshape(e_rhs.shape)
-                ue = mop.mass_apply_e(ue, massD, h.tables["L2B"], d,
-                                      Bd=h.tables.get("L2Bd"))
+                ue = mop.mass_apply_e(
+                    ue, massD, h.tables["L2B"], d,
+                    Bd=h.tables.get("L2Bd"),
+                    oz=None if h.oz is None else h.oz["l2"])
                 return ue.reshape(1, -1)
 
             res = cg(apply_A, e_rhs.reshape(1, -1), opt.cg_tol,

@@ -224,6 +224,28 @@ class SlabHydro:
                 [ql_split(h.Jac0inv[..., a, b])
                  for a in range(3) for b in range(3)], axis=1), dt)
             self.lat = True
+        # f64 production mode (Options.ozaki): per-block int8-MXU Ozaki
+        # banded chains + the mixed-precision IR velocity solve, the
+        # same kernels as the conforming Hydro (hydro.py _cg_velocity_ir
+        # / ops/lattice_oz.py) — the reference's MPI path runs identical
+        # per-rank kernels (laghos_solver.cpp:362-398).  Every block has
+        # the same local lattice shape, so the static int8 table splits
+        # are replicated closure constants like lat_TB.
+        self.lat_oz = None
+        self.lat_TB32 = None
+        if self.lat is not None and getattr(h, "_lat_oz", None) is not None:
+            from ..ops import lattice_oz as lzo
+            from ..ops import tensor as top
+
+            B = np.asarray(h.tables["H1B"], np.float64)
+            G = np.asarray(h.tables["H1G"], np.float64)
+            l2b1 = np.asarray(h.tables["L2B"], np.float64)
+            l2bd, _ = top.dense_ops(l2b1, np.zeros_like(l2b1), d)
+            self.lat_oz = lzo.build_lattice_oz(
+                B, G, l2bd, self.grid_loc, n_slices=h.opt.ozaki_slices)
+            # f32 shadow of the banded tables for the IR inner sweeps
+            self.lat_TB32 = tuple(T.astype(jnp.float32)
+                                  for T in self.lat_TB)
         self._place()
         self._advance_cache = {}
         self._estimate = None
@@ -464,8 +486,142 @@ class SlabHydro:
                 return lop.force_transpose_lattice(
                     v, sJit, lat, ldims, edims, h.tables)
 
+            if self.lat_oz is not None:
+                # f64-accurate production kernels: int8-MXU Ozaki
+                # banded chains per block, identical to the conforming
+                # Hydro's (ops/lattice_oz.py), with the SAME plane-halo
+                # exchange — the chains are block-local so only the
+                # assembled L-vector planes ride the ICI.
+                from ..ops import lattice_oz as lzo
+
+                loz = self.lat_oz
+
+                def qupd(Sc):                                # noqa: F811
+                    sJit9, dtm = lop.qupdate3d_lattice(
+                        Sc["x"], Sc["v"], Sc["e"], lat, ldims, edims,
+                        h.tables, h1order=float(opt.order_v),
+                        cfl=opt.cfl, use_viscosity=h.use_visc,
+                        use_vorticity=h.use_vort, h0=h.h0, oz=loz)
+                    return sJit9, jax.lax.pmin(dtm, names)
+
+                def mass_apply(u):                           # noqa: F811
+                    y = lzo.mass_apply_lattice_oz(u, loz, lat["Dq"],
+                                                  ldims)
+                    y = halo_add(y)
+                    return jnp.where(ess, 0.0, y)
+
+                def force_rhs(sJit):                         # noqa: F811
+                    y = lzo.force_one_lattice_oz(
+                        sJit, loz).reshape(d, -1)
+                    y = halo_add(y)
+                    return jnp.where(jnp.abs(y) < h.ftz_eps2, 0.0, y)
+
+                def force_T(sJit, v):                        # noqa: F811
+                    return lop.force_transpose_lattice(
+                        v, sJit, lat, ldims, edims, h.tables, oz=loz)
+
+                if opt.cg_ir:
+                    solve_ir = self._make_solve_ir(
+                        loz, lat, ldims, halo_add, ess, dinv, owned,
+                        names)
+
+                    def solve_velocity(sJit, x0=None):       # noqa: F811
+                        rhs = -force_rhs(sJit)
+                        if rt is not None:
+                            rhs = rhs + rt
+                        rhs = jnp.where(ess, 0.0, rhs)
+                        return solve_ir(rhs, x0=x0)
+
         return dict(qupd=qupd, solve_velocity=solve_velocity,
                     solve_energy=solve_energy, owned=owned, edot=edot)
+
+    def _make_solve_ir(self, loz, lat, ldims, halo_add, ess, dinv, owned,
+                       names):
+        """Distributed mixed-precision IR velocity solve: the SPMD image
+        of Hydro._cg_velocity_ir.  Inner Jacobi-CG sweeps on the f32
+        shadow of the banded lattice operator (owned-dof psum dots, one
+        plane halo per apply); outer residuals through the f64-accurate
+        truncated-Ozaki apply; the outer stopping criterion is the
+        globally psum-reduced preconditioned residual dot, so every
+        device iterates in lockstep.  Uses the Jacobi preconditioner
+        (the Kronecker inverse is not block-local across a partitioned
+        axis)."""
+        from ..ops import lattice as lop
+        from ..ops import lattice_oz as lzo
+        from ..solvers.cg import cg
+
+        h = self.h
+        opt = h.opt
+        TB32 = self.lat_TB32
+        Dq32 = lat["Dq"].astype(jnp.float32)
+        dinv32 = dinv.astype(jnp.float32)[None, :]
+        owned32 = owned.astype(jnp.float32)
+        dinvb = dinv[None, :]
+        tol = opt.cg_tol
+        f64 = self.dtype
+
+        def apply32(u):
+            y = lop.mass_apply_lattice(u, TB32, Dq32, ldims)
+            y = halo_add(y)
+            return jnp.where(ess, 0.0, y)
+
+        def pdot32(u, v):
+            return jax.lax.psum(
+                jnp.sum(u * v * owned32[None, :], axis=-1), names)
+
+        def prec32(rr):
+            return rr * dinv32
+
+        # residual-apply slice count: identical derivation to
+        # Hydro._cg_velocity_ir (Ozaki truncation ~a decade below the
+        # residual target)
+        s_res = min(8, max(4, int(np.ceil((-np.log2(tol) + 3.4) / 7.0))))
+
+        def apply_res(u):
+            y = lzo.mass_apply_lattice_oz(u, loz, lat["Dq"], ldims,
+                                          n_slices=s_res)
+            y = halo_add(y)
+            return jnp.where(ess, 0.0, y)
+
+        def rdot(r):
+            return jax.lax.psum(
+                jnp.sum(r * r * dinvb * owned[None, :], axis=-1), names)
+
+        inner_tol = opt.cg_ir_inner_tol
+        inner_max = min(opt.cg_max_iter, 100)
+
+        def solve_ir(rhs, x0=None):
+            if x0 is None:
+                x = jnp.zeros_like(rhs)
+                r = rhs
+            else:
+                x = x0
+                r = rhs - apply_res(x0)
+            target = rdot(rhs) * (tol * tol)
+
+            def cond(st):
+                x, r, it, outers, active = st
+                return jnp.logical_and(jnp.any(active), outers < 8)
+
+            def body(st):
+                x, r, it, outers, active = st
+                with jax.default_matmul_precision(opt.cg_ir_inner_mxu):
+                    res = cg(apply32, r.astype(jnp.float32), inner_tol,
+                             inner_max, precond=prec32, dot=pdot32)
+                dx = res.x.astype(f64)
+                x = jnp.where(active[:, None], x + dx, x)
+                r = rhs - apply_res(x)
+                it = it + jnp.where(active, res.iters + 1, 0)
+                active = jnp.logical_and(active, rdot(r) > target)
+                return (x, r, it, outers + 1, active)
+
+            active0 = rdot(r) > target
+            it0 = jnp.zeros(rhs.shape[0], jnp.int32)
+            x, r, it, outers, active = jax.lax.while_loop(
+                cond, body, (x, r, it0, jnp.asarray(0), active0))
+            return x, jnp.sum(it)
+
+        return solve_ir
 
     # ------------------------------------------------------------------
     def _make_advance(self, count_stage1: bool, with_sj: bool):
