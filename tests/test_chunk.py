@@ -67,6 +67,7 @@ def test_chunk_state_transfer_roundtrip():
     assert np.allclose(G["e"], np.asarray(h.S0["e"]), atol=0)
 
 
+@pytest.mark.slow
 def test_chunk_3d_sedov():
     m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
     m = fmesh.uniform_refine(m)

@@ -60,6 +60,7 @@ def test_resume_matches_uninterrupted(tmp_path):
     assert abs(res_resume.e_norm - res15.e_norm) < 1e-12
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import sys
 

@@ -37,6 +37,7 @@ def test_mult_matches_plain_f64():
     assert abs(float(dt0) - float(dt1)) / float(dt0) < 1e-12
 
 
+@pytest.mark.slow
 def test_short_trajectory_matches():
     h0, h1 = _pair()
     r0 = driver.run(h0, t_final=0.6, max_steps=15, verbose=False)

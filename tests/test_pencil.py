@@ -28,6 +28,7 @@ def _hydro(dim=3, refine=1, **kw):
     return Hydro(m, Options(**opt))
 
 
+@pytest.mark.slow
 def test_pencil_matches_conforming_3d_sedov():
     h = _hydro()  # 4x4x4 elements
     sh = SlabHydro(h, mesh_shape=(2, 4))
@@ -41,6 +42,7 @@ def test_pencil_matches_conforming_3d_sedov():
     assert abs(r1.h1_iters - r2.h1_iters) <= 0.01 * r1.h1_iters
 
 
+@pytest.mark.slow
 def test_pencil_matches_slab_3d():
     """(4,) slabs and (2, 2) pencils of the same mesh give the same
     trajectory (both equal the conforming one; corner/edge halo sums

@@ -2,6 +2,7 @@
 Jacobi (reference parity mode), fewer iterations, SPD."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from laghos_tpu import driver
@@ -48,6 +49,7 @@ def test_schwarz_spd_and_solution_match():
     assert int(its) <= 3 * int(itj)
 
 
+@pytest.mark.slow
 def test_cg_warm_start_matches_and_saves_iters():
     hc = _h("jacobi")
     hw = _h("jacobi", cg_warm_start=True)
@@ -60,6 +62,7 @@ def test_cg_warm_start_matches_and_saves_iters():
     assert rw.h1_iters < rc.h1_iters
 
 
+@pytest.mark.slow
 def test_schwarz_trajectory_matches_jacobi():
     hj = _h("jacobi")
     hs = _h("schwarz")

@@ -2,6 +2,7 @@
 device-resident accept/reject/grow dt control flow must reproduce the
 host loop's trajectory exactly, for slab, pencil, and chunk modes."""
 
+import pytest
 import numpy as np
 
 from laghos_tpu import driver
@@ -36,10 +37,12 @@ def test_slab_device_loop_matches_host_loop():
     _cmp(SlabHydro(_hydro(), n_devices=4))
 
 
+@pytest.mark.slow
 def test_pencil_device_loop_matches_host_loop():
     _cmp(SlabHydro(_hydro(), mesh_shape=(2, 2)))
 
 
+@pytest.mark.slow
 def test_chunk_device_loop_matches_host_loop():
     m = fmesh.cartesian(3, (2, 2, 2), (1.0, 1.0, 1.0))
     m = fmesh.uniform_refine(m)
@@ -50,5 +53,6 @@ def test_chunk_device_loop_matches_host_loop():
     _cmp(ChunkHydro(h, n_devices=4), max_steps=6)
 
 
+@pytest.mark.slow
 def test_slab_device_loop_rk2avg():
     _cmp(SlabHydro(_hydro(ode_solver=7), n_devices=4), max_steps=6)

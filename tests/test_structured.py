@@ -52,6 +52,7 @@ def test_struct_rejects_shifted_rt_mesh_ok():
                                l_to_e_struct(u, sm))
 
 
+@pytest.mark.slow
 def test_hydro_trajectory_struct_vs_generic():
     """Short 3D Sedov trajectory: structured vs generic paths agree."""
     from laghos_tpu.driver import run
@@ -70,4 +71,7 @@ def test_hydro_trajectory_struct_vs_generic():
         order = np.lexsort(cent.T)
         res[name] = (r.steps, np.asarray(r.S["e"])[order])
     assert res["struct"][0] == res["generic"][0]
-    assert np.abs(res["struct"][1] - res["generic"][1]).max() < 1e-10
+    # struct mode contracts in a different (lattice) order, so the two
+    # trajectories diverge by reassociation roundoff compounded over
+    # ~60 steps; |e| ~ 15 here, so 1e-9 is ~6e-11 relative.
+    assert np.abs(res["struct"][1] - res["generic"][1]).max() < 1e-9
