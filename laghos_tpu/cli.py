@@ -148,6 +148,19 @@ def build_parser():
     return p
 
 
+def _refine(m):
+    """Uniform refinement that dispatches on the mesh family (tensor
+    Mesh vs TriMesh/TetMesh simplices)."""
+    from .fem import mesh as fmesh
+    from .fem import simplex_mesh as fsm
+
+    if isinstance(m, fsm.TriMesh):
+        return fsm.uniform_refine_tri(m)
+    if isinstance(m, fsm.TetMesh):
+        return fsm.uniform_refine_tet(m)
+    return fmesh.uniform_refine(m)
+
+
 def make_mesh(args):
     from .fem import mesh as fmesh
 
@@ -164,16 +177,16 @@ def make_mesh(args):
 
         m = get_mesh(args.mesh)
         for _ in range(args.rs):
-            m = fmesh.uniform_refine(m)
+            m = _refine(m)
     else:
         dim = args.dim
         n = (args.nx, args.ny, args.nz)
         sizes = (args.xwidth, args.ywidth, args.zwidth)
         m = fmesh.cartesian(dim, n, sizes)
         for _ in range(args.rs):
-            m = fmesh.uniform_refine(m)
+            m = _refine(m)
     for _ in range(args.rp):
-        m = fmesh.uniform_refine(m)
+        m = _refine(m)
     if getattr(args, "sfc", False):
         from .parallel.partition import sfc_partition
 
@@ -267,13 +280,13 @@ def main(argv=None):
     m = make_mesh(args)
     print(f"Number of zones in the serial mesh: {m.num_elems}")
 
-    from .fem.simplex_mesh import TriMesh
+    from .fem.simplex_mesh import TetMesh, TriMesh
 
-    if isinstance(m, TriMesh):
-        # triangle meshes run on the simplex (FA) solver
-        from .simplex_hydro import TriHydro
+    if isinstance(m, (TriMesh, TetMesh)):
+        # simplex meshes (triangles/tets) run on the simplex (FA) solver
+        from .simplex_hydro import SimplexHydro
 
-        th = TriHydro(m, Options(
+        th = SimplexHydro(m, Options(
             problem=args.problem, order_v=args.order_v,
             order_e=args.order_e, order_q=args.order_q, cfl=args.cfl,
             cg_tol=args.cg_tol, cg_max_iter=args.cg_max_iter))

@@ -41,6 +41,16 @@ def _builtin(name: str):
         return m
     if name == "square_10x9_quad":
         return fmesh.cartesian(2, (10, 9), (1.0, 0.9))
+    if name == "cube01_tet":
+        from .fem.simplex_mesh import make_tet_mesh
+
+        return make_tet_mesh((2, 2, 2), (1.0, 1.0, 1.0))
+    if name == "square01_tri":
+        from .fem.simplex_mesh import load_tri_mesh
+
+        p = "/root/reference/data/square01_tri.mesh"
+        if os.path.exists(p):
+            return load_tri_mesh(p)
     if name == "rt2D":
         m = fmesh.cartesian(2, (1, 4), (0.5, 2.0))
         m = _shifted(m, (0.0, -1.0))
@@ -61,9 +71,9 @@ def get_mesh(name_or_path: str) -> fmesh.Mesh:
         try:
             return fmesh.load_mfem_mesh(name_or_path)
         except NotImplementedError:
-            from .fem.simplex_mesh import load_tri_mesh
+            from .fem.simplex_mesh import load_simplex_mesh
 
-            return load_tri_mesh(name_or_path)
+            return load_simplex_mesh(name_or_path)
     m = _builtin(base)
     if m is None:
         raise FileNotFoundError(

@@ -1,14 +1,14 @@
-"""Triangle (simplex) discretization: quadrature, bases, full-matrix tables.
+"""Simplex (triangle/tetrahedron) discretization: quadrature, bases, tables.
 
-The reference supports triangle meshes through MFEM (data/square01_tri.mesh)
-on the full-assembly path; SURVEY M1/M8 lists simplices as the FA fallback.
-Here: P_k nodal H1 (barycentric-lattice Lagrange), barycentric Bernstein L2
-("Positive"), and a Duffy-collapsed Gauss quadrature.  No tensor structure:
-operators use full (NQ, nd) tables, which is exactly the reference's FA
-regime for simplices.
+The reference supports simplex meshes through MFEM (data/square01_tri.mesh;
+TETRAHEDRON in the geometry switch) on the full-assembly path; SURVEY M1/M8
+lists simplices as the FA fallback.  Here: P_k nodal H1 (barycentric-lattice
+Lagrange), barycentric Bernstein L2 ("Positive"), and Duffy-collapsed Gauss
+quadrature.  No tensor structure: operators use full (NQ, nd) tables, which
+is exactly the reference's FA regime for simplices.
 
-Reference points: (x, y) in the unit triangle x,y >= 0, x+y <= 1 (MFEM's
-triangle reference element).
+Reference points: (x, y[, z]) in the unit simplex with coords >= 0 and
+sum <= 1 (MFEM's triangle / tetrahedron reference elements).
 """
 
 from __future__ import annotations
@@ -123,3 +123,116 @@ def l2_tri_tables(p: int, order: int):
     Vb = bernstein_tri(p, nodes[:, 0], nodes[:, 1])
     return {"B": B, "nodal_to_b": np.linalg.inv(Vb), "nodes": nodes,
             "quad": (X, Y, W)}
+
+
+# ---------------------------------------------------------------------------
+# Tetrahedra (3D simplices).  Same construction, one more barycentric
+# coordinate.  Closes the reference's TETRAHEDRON geometry-switch entry
+# (MFEM Geometry::TETRAHEDRON; the hydro semantics are dimension-generic).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def tet_quadrature(order: int):
+    """Duffy-collapsed Gauss rule exact to `order` on the unit tetrahedron.
+
+    Map from [0,1]^3: (x, y, z) = (u(1-v)(1-w), v(1-w), w);
+    |J| = (1-v)(1-w)^2.  The weight raises the polynomial degree in v by 1
+    and in w by 2, so those directions get 1 and 2 extra Gauss points.
+    """
+    n = order // 2 + 1
+    xu, wu = gauss_legendre(n)
+    xv, wv = gauss_legendre(n + 1)
+    xw, ww = gauss_legendre(n + 2)
+    U, V, Wc = np.meshgrid(xu, xv, xw, indexing="ij")
+    WU, WV, WW = np.meshgrid(wu, wv, ww, indexing="ij")
+    Z = Wc.reshape(-1)
+    Y = (V * (1.0 - Wc)).reshape(-1)
+    X = (U * (1.0 - V) * (1.0 - Wc)).reshape(-1)
+    W = (WU * WV * WW * (1.0 - V) * (1.0 - Wc) ** 2).reshape(-1)
+    return X, Y, Z, W
+
+
+def _bary_lattice_tet(p: int):
+    """Barycentric lattice multi-indices (i, j, k, l), i+j+k+l = p;
+    node position x = i/p, y = j/p, z = k/p."""
+    out = []
+    for k in range(p + 1):
+        for j in range(p + 1 - k):
+            for i in range(p + 1 - k - j):
+                out.append((i, j, k, p - i - j - k))
+    return np.array(out)  # (nd, 4)
+
+
+def _monomials3(p: int, x, y, z):
+    """(npts, nd) matrix of span {x^a y^b z^c : a+b+c <= p}."""
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    cols = []
+    for total in range(p + 1):
+        for a in range(total + 1):
+            for b in range(total + 1 - a):
+                c = total - a - b
+                cols.append(x**a * y**b * z**c)
+    return np.stack(cols, axis=1)
+
+
+def _monomials3_grad(p: int, x, y, z):
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    gx, gy, gz = [], [], []
+    for total in range(p + 1):
+        for a in range(total + 1):
+            for b in range(total + 1 - a):
+                c = total - a - b
+                gx.append(a * x ** max(a - 1, 0) * y**b * z**c
+                          if a else 0.0 * x)
+                gy.append(b * x**a * y ** max(b - 1, 0) * z**c
+                          if b else 0.0 * x)
+                gz.append(c * x**a * y**b * z ** max(c - 1, 0)
+                          if c else 0.0 * x)
+    return (np.stack(gx, axis=1), np.stack(gy, axis=1),
+            np.stack(gz, axis=1))
+
+
+@functools.lru_cache(maxsize=None)
+def h1_tet_tables(p: int, order: int):
+    """Nodal P_k basis tables at the tet quadrature points.
+
+    Returns dict with B (NQ, nd), Gx/Gy/Gz (NQ, nd), nodes (nd, 3)
+    reference positions, lattice (nd, 4), quadrature (X, Y, Z, W).
+    """
+    lat = _bary_lattice_tet(p)
+    nodes = lat[:, :3].astype(np.float64) / p
+    V = _monomials3(p, nodes[:, 0], nodes[:, 1], nodes[:, 2])
+    Vi = np.linalg.inv(V)
+    X, Y, Z, W = tet_quadrature(order)
+    Pq = _monomials3(p, X, Y, Z)
+    Gqx, Gqy, Gqz = _monomials3_grad(p, X, Y, Z)
+    return {"B": Pq @ Vi, "Gx": Gqx @ Vi, "Gy": Gqy @ Vi, "Gz": Gqz @ Vi,
+            "nodes": nodes, "lattice": lat, "quad": (X, Y, Z, W)}
+
+
+def bernstein_tet(p: int, x, y, z):
+    """Barycentric Bernstein basis B_{ijkl} at points (x, y, z); column
+    order matches _bary_lattice_tet."""
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    w = 1.0 - x - y - z
+    lat = _bary_lattice_tet(p)
+    cols = []
+    for (i, j, k, l) in lat:
+        c = (factorial(p) //
+             (factorial(i) * factorial(j) * factorial(k) * factorial(l)))
+        cols.append(c * x**i * y**j * z**k * w**l)
+    return np.stack(cols, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def l2_tet_tables(p: int, order: int):
+    """Bernstein L2 tables at tet quadrature points + nodal->Bernstein
+    change of basis."""
+    X, Y, Z, W = tet_quadrature(order)
+    B = bernstein_tet(p, X, Y, Z)
+    lat = _bary_lattice_tet(p)
+    nodes = lat[:, :3].astype(np.float64) / p
+    Vb = bernstein_tet(p, nodes[:, 0], nodes[:, 1], nodes[:, 2])
+    return {"B": B, "nodal_to_b": np.linalg.inv(Vb), "nodes": nodes,
+            "quad": (X, Y, Z, W)}

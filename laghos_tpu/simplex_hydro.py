@@ -1,11 +1,12 @@
-"""Lagrangian hydro on triangle meshes (full-assembly regime).
+"""Lagrangian hydro on simplex meshes (triangles/tets, full-assembly regime).
 
 The simplex counterpart of hydro.py: no tensor structure, so every
 dof<->qpoint map is a full (NQ, nd) matrix — exactly the regime the
 reference reaches through MFEM's FA path for simplices (SURVEY M1/M8).
-Supports the 2D problems (ICs from problems.py), RK4, direct per-element
-energy solve + coupled velocity CG (the FA solver layout,
-laghos_solver.cpp:400-439).
+Dimension-generic over 2D triangles and 3D tetrahedra (the reference's
+TRIANGLE/TETRAHEDRON geometry-switch entries).  Supports the source-free
+problems (ICs from problems.py), RK4, direct per-element energy solve +
+coupled velocity CG (the FA solver layout, laghos_solver.cpp:400-439).
 """
 
 from __future__ import annotations
@@ -22,68 +23,99 @@ from .ops import smallmat
 from .solvers.cg import cg
 
 
-class TriHydro:
-    def __init__(self, mesh: fsm.TriMesh, opt, dtype=jnp.float64):
+class SimplexHydro:
+    def __init__(self, mesh, opt, dtype=jnp.float64):
         self.mesh = mesh
         self.opt = opt
         self.dtype = dtype
-        self.dim = 2
+        dim = self.dim = mesh.dim
         pb = opt.problem
         self.source, self.use_visc, self.use_vort = problems.problem_flags(
-            pb, 2)
-        assert self.source == 0, "triangle path: source-free problems"
+            pb, dim)
+        assert self.source == 0, "simplex path: source-free problems"
         order = default_rule_order(opt.order_v, opt.order_e, opt.order_q)
-        h1t = fsx.h1_tri_tables(opt.order_v, order)
-        l2t = fsx.l2_tri_tables(opt.order_e, order)
-        X, Y, W = h1t["quad"]
+        if dim == 2:
+            h1t = fsx.h1_tri_tables(opt.order_v, order)
+            l2t = fsx.l2_tri_tables(opt.order_e, order)
+            W = h1t["quad"][-1]
+            G = np.stack([h1t["Gx"], h1t["Gy"]], -1)
+            sp = fsm.build_tri_h1(mesh, opt.order_v)
+        else:
+            h1t = fsx.h1_tet_tables(opt.order_v, order)
+            l2t = fsx.l2_tet_tables(opt.order_e, order)
+            W = h1t["quad"][-1]
+            G = np.stack([h1t["Gx"], h1t["Gy"], h1t["Gz"]], -1)
+            sp = fsm.build_tet_h1(mesh, opt.order_v)
         self.NQ = W.size
         self.B = jnp.asarray(h1t["B"], dtype)
-        self.G = jnp.asarray(np.stack([h1t["Gx"], h1t["Gy"]], -1), dtype)
+        self.G = jnp.asarray(G, dtype)
         self.Bl = jnp.asarray(l2t["B"], dtype)
         self.W = jnp.asarray(W, dtype)
         self.nd = h1t["B"].shape[1]
         self.ld = l2t["B"].shape[1]
 
-        sp = fsm.build_tri_h1(mesh, opt.order_v)
         self.gather = jnp.asarray(sp["gather"])
         self.ndof = sp["ndof"]
         self.ess = jnp.asarray(sp["ess"])
         NE = self.NE = mesh.num_elems
 
-        x0 = sp["coords"]                          # (ndof, 2)
-        v0 = problems.v0(pb, x0, 2).copy()
+        x0 = sp["coords"]                          # (ndof, dim)
+        v0 = problems.v0(pb, x0, dim).copy()
         v0.T[np.asarray(sp["ess"])] = 0.0
 
         # L2 ICs at the lattice nodes -> Bernstein
-        lat_nodes = l2t["nodes"]                   # (ld, 2) reference
+        lat_nodes = l2t["nodes"]                   # (ld, dim) reference
         epos = np.einsum("nc,ecd->end", self._bary_shape(lat_nodes),
                          mesh.verts[mesh.elems])
-        rho0n = problems.rho0(pb, epos, 2)
-        e0n = problems.e0(pb, epos, 2)
+        rho0n = problems.rho0(pb, epos, dim)
+        e0n = problems.e0(pb, epos, dim)
         T = l2t["nodal_to_b"]
         rho0_b = rho0n @ T.T
         e_b = e0n @ T.T
 
         gamma_e = problems.gamma(
-            pb, mesh.verts[mesh.elems].mean(axis=1), 2)
+            pb, mesh.verts[mesh.elems].mean(axis=1), dim)
 
         # t=0 geometry
         x0_l = x0.T
-        x0_e = x0_l[:, sp["gather"]].transpose(1, 0, 2)  # (NE, 2, nd)
+        x0_e = x0_l[:, sp["gather"]].transpose(1, 0, 2)  # (NE, dim, nd)
         J0 = np.einsum("qib,eai->eqab", np.asarray(self.G), x0_e)
         detJ0 = np.linalg.det(J0)
         self.Jac0inv = jnp.asarray(np.linalg.inv(J0), dtype)
+        if pb == 1 and opt.blast_energy > 0.0:
+            # Sedov point blast: the simplex analog of MFEM's
+            # ProjectDeltaCoefficient (laghos.cpp:597-616) — nodal delta
+            # at the blast vertex across all elements sharing it,
+            # nodal->Bernstein, then scale so the global integral is
+            # blast_energy / 2^dim (the main-path convention,
+            # hydro.py _sedov_delta_nodal).
+            center = np.asarray(opt.blast_position[:dim])
+            d2 = np.linalg.norm(epos - center[None, None, :], axis=-1)
+            hit = d2 < max(opt.delta_tol, 1e-10)
+            if not hit.any():
+                raise RuntimeError(
+                    "Delta function could not be initialized (no L2 node "
+                    "at the blast position)")
+            e_b = hit.astype(np.float64) @ T.T
+            integral = float(
+                (W[None, :] * (e_b @ np.asarray(self.Bl).T)
+                 * detJ0).sum())
+            e_b *= (opt.blast_energy / 2**dim) / integral
+
         rho0_q = rho0_b @ np.asarray(self.Bl).T          # (NE, NQ)
         self.rw = jnp.asarray(W[None, :] * rho0_q * detJ0, dtype)
         vol = float((W[None, :] * detJ0).sum())
-        # h0 for triangles: sqrt(2 Volume / NE) / order
-        # (laghos_solver.cpp:257)
-        self.h0 = np.sqrt(2.0 * vol / NE) / opt.order_v
+        # h0: edge scale of the right-corner simplex with the mean element
+        # volume, / order (the simplex analog of laghos_solver.cpp:257)
+        if dim == 2:
+            self.h0 = np.sqrt(2.0 * vol / NE) / opt.order_v
+        else:
+            self.h0 = (6.0 * vol / NE) ** (1.0 / 3.0) / opt.order_v
 
         # mass data (pointwise rho0 at qpoints of the initial mesh)
         xq0 = np.einsum("qi,eai->eqa", np.asarray(self.B), x0_e)
         self.massD = jnp.asarray(
-            W[None, :] * problems.rho0(pb, xq0, 2) * detJ0, dtype)
+            W[None, :] * problems.rho0(pb, xq0, dim) * detJ0, dtype)
         Bn = np.asarray(self.B)
         diag_e = np.einsum("qi,qi,eq->ei", Bn, Bn, np.asarray(self.massD))
         dg = np.zeros(self.ndof)
@@ -102,34 +134,38 @@ class TriHydro:
 
     @staticmethod
     def _bary_shape(nodes):
-        """(ld, 3) barycentric weights (l1, l2, l3) -> vertex order."""
-        lam1 = 1.0 - nodes[:, 0] - nodes[:, 1]
-        return np.stack([lam1, nodes[:, 0], nodes[:, 1]], axis=1)
+        """(ld, dim+1) barycentric weights in vertex-column order.
+
+        The H1 numbering (build_{tri,tet}_h1) pairs reference coordinate
+        x with vertex 0, y with vertex 1, ..., and 1-sum with the last
+        vertex; the L2 node sampling must use the same element map."""
+        lam_last = 1.0 - nodes.sum(axis=1)
+        return np.concatenate([nodes, lam_last[:, None]], axis=1)
 
     # ------------------------------------------------------------------
     def _gathered(self, u):
-        return u[:, self.gather].transpose(1, 0, 2)    # (NE, 2, nd)
+        return u[:, self.gather].transpose(1, 0, 2)    # (NE, dim, nd)
 
     def _qupdate(self, S):
         x_e = self._gathered(S["x"])
         v_e = self._gathered(S["v"])
         J = jnp.einsum("qib,eai->eqab", self.G, x_e)
-        detJ = smallmat.det(J, 2)
-        Jinv = smallmat.inv(J, 2, detJ)
+        detJ = smallmat.det(J, self.dim)
+        Jinv = smallmat.inv(J, self.dim, detJ)
         e_q = S["e"] @ self.Bl.T
         R = self.rw / (detJ * self.W[None, :])
         E = jnp.maximum(0.0, e_q)
         g = self.gamma_j[:, None]
         P = (g - 1.0) * R * E
         cs = jnp.sqrt(g * (g - 1.0) * E)
-        eye = jnp.eye(2, dtype=self.dtype)
+        eye = jnp.eye(self.dim, dtype=self.dtype)
         stress = -P[..., None, None] * eye
         visc = jnp.zeros_like(R)
         if self.use_visc:
             dV = jnp.einsum("qib,eai->eqab", self.G, v_e)
             sgrad = jnp.einsum("...ab,...bk->...ak", dV, Jinv)
             sym = 0.5 * (sgrad + jnp.swapaxes(sgrad, -2, -1))
-            mu, ev = smallmat.sym_eig_smallest(sym, 2)
+            mu, ev = smallmat.sym_eig_smallest(sym, self.dim)
             Jpi = jnp.einsum("...ab,...bk->...ak", J, self.Jac0inv)
             ph = jnp.einsum("...ab,...b->...a", Jpi, ev)
             h = (self.h0 * jnp.linalg.norm(ph, axis=-1)
@@ -141,7 +177,7 @@ class TriHydro:
             visc = visc + (0.5 * R * h * cs
                            * (1.0 - smooth_step_01(mu - 2 * eps, eps)))
             stress = stress + visc[..., None, None] * sym
-        sv = smallmat.min_singular_value(J, 2)
+        sv = smallmat.min_singular_value(J, self.dim)
         h_min = sv / float(self.opt.order_v)
         ih = 1.0 / h_min
         idt = cs * ih + 2.5 * visc * ih * ih / R
@@ -178,13 +214,15 @@ class TriHydro:
         flat = rhs.reshape(1, -1)
 
         def apply_flat(u):
-            return self._mass_apply(u.reshape(2, -1)).reshape(1, -1)
+            return self._mass_apply(
+                u.reshape(self.dim, -1)).reshape(1, -1)
 
-        dinv = jnp.broadcast_to(self.h1_dinv[None, :], (2, self.ndof))
+        dinv = jnp.broadcast_to(self.h1_dinv[None, :],
+                                (self.dim, self.ndof))
         dinv = jnp.where(self.ess, 1.0, dinv).reshape(1, -1)
         res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
                  precond=lambda r: r * dinv)
-        dv = res.x.reshape(2, -1)
+        dv = res.x.reshape(self.dim, -1)
 
         v_e = self._gathered(S["v"])
         dVq = jnp.einsum("qig,eai->eqag", self.G, v_e)
@@ -244,3 +282,7 @@ class TriHydro:
                       f"|e| = {en:.10e}")
             ti += 1
         return S, t, ti - 1
+
+
+# Backwards-compatible name: the 2D-only class this module started as.
+TriHydro = SimplexHydro

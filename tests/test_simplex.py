@@ -68,3 +68,119 @@ def test_tri_hydro_static_and_sod():
     S, t, steps = h2.run(t_final=0.1, max_steps=40)
     assert np.all(np.isfinite(np.asarray(S["e"])))
     assert steps > 3
+
+
+# ---------------------------------------------------------------------------
+# Tetrahedra (3D simplices) — the TETRAHEDRON geometry-switch entries.
+# ---------------------------------------------------------------------------
+
+
+def test_tet_quadrature_exact():
+    X, Y, Z, W = fsx.tet_quadrature(6)
+    assert np.isclose(W.sum(), 1.0 / 6.0, atol=1e-14)   # tet volume
+    # exact moments: int x^a y^b z^c = a! b! c! / (a+b+c+3)!
+    from math import factorial
+
+    for a in range(4):
+        for b in range(4 - a):
+            for c in range(4 - a - b):
+                exact = (factorial(a) * factorial(b) * factorial(c)
+                         / factorial(a + b + c + 3))
+                got = (W * X**a * Y**b * Z**c).sum()
+                assert np.isclose(got, exact, atol=1e-14), (a, b, c)
+
+
+def test_tet_basis_partition_of_unity():
+    t = fsx.h1_tet_tables(3, 7)
+    assert t["B"].shape[1] == 20                        # P3 tet dofs
+    assert np.allclose(t["B"].sum(axis=1), 1.0, atol=1e-11)
+    assert np.allclose(t["Gx"].sum(axis=1), 0.0, atol=1e-9)
+    assert np.allclose(t["Gz"].sum(axis=1), 0.0, atol=1e-9)
+    l = fsx.l2_tet_tables(2, 7)
+    assert np.allclose(l["B"].sum(axis=1), 1.0, atol=1e-11)
+
+
+def test_tet_basis_nodal():
+    # Lagrange property: evaluating the nodal basis at the lattice nodes
+    # themselves gives the identity (rebuild B with the nodes as "quad")
+    p = 2
+    lat = fsx._bary_lattice_tet(p)
+    nodes = lat[:, :3].astype(np.float64) / p
+    V = fsx._monomials3(p, nodes[:, 0], nodes[:, 1], nodes[:, 2])
+    B_at_nodes = V @ np.linalg.inv(V)
+    assert np.allclose(B_at_nodes, np.eye(nodes.shape[0]), atol=1e-10)
+    # Bernstein nodal_to_b is the inverse of node sampling: a constant
+    # nodal field maps to the constant Bernstein field (PoU inverse)
+    l = fsx.l2_tet_tables(2, 4)
+    coef = l["nodal_to_b"] @ np.ones(nodes.shape[0])
+    assert np.allclose(coef, 1.0, atol=1e-9)
+
+
+def test_tet_mesh_build_refine():
+    m = fsm.make_tet_mesh((2, 2, 2))
+    assert m.num_elems == 48                            # 6 tets/cell
+    assert np.isclose(m.element_volumes().sum(), 1.0, atol=1e-12)
+    # all tets positively oriented under the (V0..V3|x,y,z,1-s) map
+    v = m.verts[m.elems]
+    d = np.linalg.det(np.stack(
+        [v[:, 0] - v[:, 3], v[:, 1] - v[:, 3], v[:, 2] - v[:, 3]],
+        axis=-1))
+    assert (d > 0).all()
+    r = fsm.uniform_refine_tet(m)
+    assert r.num_elems == 8 * m.num_elems
+    assert np.isclose(r.element_volumes().sum(), 1.0, atol=1e-12)
+    # children tile the parent: every child volume positive
+    assert (r.element_volumes() > 0).all()
+    # boundary triangles cover the 6 unit faces: total area 6, refined 1:4
+    assert r.bdr_verts.shape[0] == 4 * m.bdr_verts.shape[0]
+
+
+def test_tet_h1_dofs():
+    m = fsm.make_tet_mesh((1, 1, 1))                    # 6 tets, 8 verts
+    sp = fsm.build_tet_h1(m, 1)
+    assert sp["ndof"] == 8                              # P1 = vertices
+    sp2 = fsm.build_tet_h1(m, 2)
+    # P2: verts + edges.  Kuhn cube: 12 cube edges + 6 face diagonals +
+    # 1 body diagonal = 19 edges
+    assert sp2["ndof"] == 8 + 19
+    # essential masks: fixed-x/y/z faces each hold a full boundary face
+    assert sp2["ess"].shape == (3, sp2["ndof"])
+    assert (sp2["ess"].sum(axis=1) > 0).all()
+
+
+def test_tet_linear_exactness():
+    """P1 interpolation of a linear field is exact at all qpoints, and
+    the element Jacobians of the straight mesh are constant."""
+    m = fsm.make_tet_mesh((2, 1, 1), (2.0, 1.0, 1.0))
+    sp = fsm.build_tet_h1(m, 2)
+    t = fsx.h1_tet_tables(2, 5)
+    f = (2.0 * sp["coords"][:, 0] - 3.0 * sp["coords"][:, 1]
+         + 0.5 * sp["coords"][:, 2] + 1.0)
+    fe = f[sp["gather"]]                                # (NE, nd)
+    xq = np.einsum("qi,ei->eq", t["B"], fe)
+    # reference -> physical positions of the qpoints
+    ce = sp["coords"][sp["gather"]]                     # (NE, nd, 3)
+    pq = np.einsum("qi,eid->eqd", t["B"], ce)
+    want = 2.0 * pq[..., 0] - 3.0 * pq[..., 1] + 0.5 * pq[..., 2] + 1.0
+    assert np.allclose(xq, want, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_tet_hydro_static_and_sod():
+    from laghos_tpu.hydro import Options
+    from laghos_tpu.simplex_hydro import SimplexHydro
+
+    m = fsm.make_tet_mesh((2, 2, 2))
+    # static triple point: uniform p, nothing moves
+    h3 = SimplexHydro(m, Options(problem=3, cg_tol=1e-12))
+    S, t, steps = h3.run(t_final=0.3, max_steps=6)
+    e0 = np.asarray(h3.S0["e"])
+    e1 = np.asarray(S["e"])
+    assert np.allclose(e0, e1, atol=1e-9)
+    assert float(np.abs(np.asarray(S["v"])).max()) < 1e-9
+
+    # 3D Sod on tets: runs stably, energy finite
+    h2 = SimplexHydro(m, Options(problem=2, cg_tol=1e-12))
+    S, t, steps = h2.run(t_final=0.05, max_steps=20)
+    assert np.all(np.isfinite(np.asarray(S["e"])))
+    assert steps > 3
