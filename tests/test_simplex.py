@@ -51,6 +51,21 @@ def test_tri_h1_dofs():
     assert sp["gather"].max() == sp["ndof"] - 1
 
 
+def _total_energy(h, S):
+    """Discrete total energy: KE + IE with the hydro's own mass weights
+    (massD = w * rho0(xq0) * detJ0, the Lagrangian-frame invariant mass),
+    the quantity the scheme conserves semi-discretely
+    (laghos_solver.cpp: ke+ie energy check)."""
+    md = np.asarray(h.massD)
+    g = np.asarray(h.gather)
+    v = np.asarray(S["v"])                          # (dim, ndof)
+    vq = np.einsum("qi,dei->deq", np.asarray(h.B), v[:, g])
+    ke = 0.5 * (md * (vq**2).sum(axis=0)).sum()
+    eq = np.einsum("qi,ei->eq", np.asarray(h.Bl), np.asarray(S["e"]))
+    ie = (md * eq).sum()
+    return ke + ie
+
+
 def test_tri_hydro_static_and_sod():
     from laghos_tpu.simplex_hydro import TriHydro
 
@@ -63,11 +78,15 @@ def test_tri_hydro_static_and_sod():
     assert np.allclose(e0, e1, atol=1e-9)
     assert float(np.abs(np.asarray(S["v"])).max()) < 1e-9
 
-    # Sod on triangles: runs stably, energy roughly conserved
+    # Sod on triangles: runs stably, total energy conserved (the
+    # semi-discrete KE<->IE transfer identity; RK4 drift only)
     h2 = TriHydro(m, Options(problem=2, cg_tol=1e-12))
+    E0 = _total_energy(h2, h2.S0)
     S, t, steps = h2.run(t_final=0.1, max_steps=40)
     assert np.all(np.isfinite(np.asarray(S["e"])))
     assert steps > 3
+    E1 = _total_energy(h2, S)
+    assert abs(E1 - E0) / abs(E0) < 1e-6, (E0, E1)
 
 
 # ---------------------------------------------------------------------------
@@ -179,8 +198,11 @@ def test_tet_hydro_static_and_sod():
     assert np.allclose(e0, e1, atol=1e-9)
     assert float(np.abs(np.asarray(S["v"])).max()) < 1e-9
 
-    # 3D Sod on tets: runs stably, energy finite
+    # 3D Sod on tets: runs stably, total energy conserved
     h2 = SimplexHydro(m, Options(problem=2, cg_tol=1e-12))
+    E0 = _total_energy(h2, h2.S0)
     S, t, steps = h2.run(t_final=0.05, max_steps=20)
     assert np.all(np.isfinite(np.asarray(S["e"])))
     assert steps > 3
+    E1 = _total_energy(h2, S)
+    assert abs(E1 - E0) / abs(E0) < 1e-6, (E0, E1)
