@@ -361,8 +361,12 @@ def _run_rows_subprocess(names):
         except Exception as e:
             rows.append({"row": name, "error": f"{type(e).__name__}: {e}"})
         try:
+            # date-stamped so a driver run never clobbers a committed
+            # full-ladder capture (BENCH_PARTIAL_TAG overrides the stamp)
+            tag = os.environ.get("BENCH_PARTIAL_TAG",
+                                 time.strftime("%Y%m%d"))
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_PARTIAL.json"), "w") as fp:
+                                   f"BENCH_PARTIAL_{tag}.json"), "w") as fp:
                 json.dump(rows, fp)
         except Exception:
             pass
@@ -397,7 +401,10 @@ def main():
         _run_rows_subprocess(names)
         return
     common = dict(
-        warm_steps=int(os.environ.get("BENCH_STEPS", "30")),
+        # 16 trajectory steps: phase states and iteration counts match
+        # the 30-step sample within noise (round-4 verdict), and the
+        # ns-row budget is compile+trajectory-bound through the tunnel
+        warm_steps=int(os.environ.get("BENCH_STEPS", "16")),
         # dispatch through the axon tunnel costs ~25-30 ms per program
         # launch; 50-iteration on-device loops keep that overhead under
         # 2%% of every phase measurement.  (Loop length is nearly free:

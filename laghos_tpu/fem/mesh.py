@@ -293,7 +293,12 @@ def load_mfem_mesh(path: str) -> Mesh:
         raise NotImplementedError(f"mixed-geometry mesh: {geoms}")
     geom = geoms.pop()
     if geom == TRIANGLE or geom == TETRAHEDRON:
-        raise NotImplementedError("simplex meshes not yet supported")
+        # simplex meshes have their own loader + solver (SimplexHydro);
+        # data.load_mesh catches this to dispatch to
+        # fem.simplex_mesh.load_simplex_mesh (data.py:70-76)
+        raise NotImplementedError(
+            "simplex mesh: use fem.simplex_mesh.load_simplex_mesh "
+            "(auto-dispatched by data.load_mesh)")
     e = np.array([v for (_, _, v) in elems], dtype=np.int32)
     bv = np.array([v for (_, v) in bdr], dtype=np.int32).reshape(
         len(bdr), -1)

@@ -115,6 +115,43 @@ def load_tri_mesh(path: str) -> TriMesh:
     )
 
 
+def make_tri_mesh(n, sizes=(1.0, 1.0), origin=(0.0, 0.0)) -> TriMesh:
+    """Cartesian rectangle split into triangles (2 per cell along the
+    low-low/high-high diagonal).  Boundary attrs follow the fixed-x/y =
+    1/2 convention of the reference meshes (e.g. data/rt2D.mesh), which
+    build_tri_h1 turns into per-component v.n = 0 masks."""
+    n = tuple(int(v) for v in n)
+    sizes = tuple(float(s) for s in sizes)
+    shape = (n[0] + 1, n[1] + 1)
+    ax = [np.linspace(origin[d], origin[d] + sizes[d], shape[d])
+          for d in range(2)]
+    G = np.meshgrid(*ax, indexing="ij")
+    verts = np.stack([g.reshape(-1) for g in G], axis=1)
+
+    def vid(ix, iy):
+        return ix * shape[1] + iy
+
+    elems = []
+    for ix in range(n[0]):
+        for iy in range(n[1]):
+            a, b = vid(ix, iy), vid(ix + 1, iy)
+            c, d = vid(ix + 1, iy + 1), vid(ix, iy + 1)
+            elems.append([a, b, c])
+            elems.append([a, c, d])
+    bdr, attr = [], []
+    for iy in range(n[1]):                     # x = const edges: attr 1
+        bdr.append([vid(0, iy), vid(0, iy + 1)])
+        bdr.append([vid(n[0], iy), vid(n[0], iy + 1)])
+        attr.extend([1, 1])
+    for ix in range(n[0]):                     # y = const edges: attr 2
+        bdr.append([vid(ix, 0), vid(ix + 1, 0)])
+        bdr.append([vid(ix, n[1]), vid(ix + 1, n[1])])
+        attr.extend([2, 2])
+    return TriMesh(verts, np.array(elems, dtype=np.int32),
+                   np.array(bdr, dtype=np.int32),
+                   np.array(attr, dtype=np.int32))
+
+
 def uniform_refine_tri(m: TriMesh) -> TriMesh:
     """1:4 red refinement via edge midpoints."""
     NE = m.num_elems

@@ -86,6 +86,20 @@ class Options:
                                   # run as whole-lattice banded int8
                                   # chains (ops/lattice_oz.py).
                                   # 3D + PA + f64 only.
+    df64_qphys: str = "auto"      # (ozaki mode) run the pointwise
+                                  # qupdate physics chain as a fused
+                                  # double-float (two-f32) Pallas VPU
+                                  # kernel (ops/pallas_df64.py) instead
+                                  # of XLA's emulated-f64 ops, which
+                                  # round-trip HBM at every fusion
+                                  # boundary (~30 ms vs ~3 ms roofline
+                                  # at the ns2 q-lattice).  Accuracy is
+                                  # the same ~2^-48 double-float class
+                                  # as XLA's own f64-on-TPU emulation.
+                                  # "auto" = on for TPU backends, off on
+                                  # CPU (real f64 ALUs); "on" forces it
+                                  # (interpret-mode on CPU, for tests);
+                                  # "off" disables.
     ozaki_slices: int = 8         # int8 slices for the dynamic-side
                                   # Ozaki splits: 8 = full-f64 (~2^-56
                                   # truncation), 7 = ~2^-49 (at the
@@ -616,6 +630,8 @@ class Hydro:
             # from the raster L-vectors (no gather, no E-form)
             from .ops import lattice as lop
 
+            from .ops import pallas_df64 as pdf
+
             return lop.qupdate3d_lattice(
                 S["x"], S["v"], S["e"], self._lat, self._lat_dims,
                 self._edims, self.tables,
@@ -624,7 +640,9 @@ class Hydro:
                 use_vorticity=self.use_vort,
                 pallas=(self.opt.use_pallas and self.use_visc
                         and self.dtype == jnp.float32),
-                h0=self.h0, oz=self._lat_oz)
+                h0=self.h0, oz=self._lat_oz,
+                df64=(pdf.df64_mode(self.opt.df64_qphys)
+                      if self._lat_oz is not None else None))
         x_e = self._gather_e(S["x"])
         v_e = self._gather_e(S["v"])
         if self._sJ9:
@@ -776,14 +794,21 @@ class Hydro:
         # 2^-42 for the reference's 1e-8; tighter tolerances widen it)
         s_res = min(8, max(4, int(np.ceil(
             (-np.log2(tol) + 3.4) / 7.0))))
+        # incremental-update slice count: after the first outer the
+        # correction dx is ≤ ~kappa*inner_tol of x, and the Ozaki
+        # truncation is RELATIVE TO ‖dx‖ (split_dyn normalizes by the
+        # operand's own exponents), so r <- r - A dx needs ~2 fewer
+        # slices for the same absolute residual accuracy — the exact
+        # analog of plain f64 CG's incrementally-tracked residual
+        s_lo = max(3, s_res - 2)
 
-        def apply_res(u):
+        def apply_res(u, n_slices=None):
             from .ops import lattice_oz as lzo
 
             y = lzo.mass_apply_lattice_oz(u, self._lat_oz,
                                           self._lat["Dq"],
                                           self._lat_dims,
-                                          n_slices=s_res)
+                                          n_slices=n_slices or s_res)
             return jnp.where(ess, 0.0, y)
 
         def rdot(r):
@@ -828,9 +853,14 @@ class Hydro:
             with jax.default_matmul_precision(self.opt.cg_ir_inner_mxu):
                 res = cg(apply32, r.astype(jnp.float32), inner_tol,
                          inner_max, precond=prec32)
-            dx = res.x.astype(f64)
-            x = jnp.where(active[:, None], x + dx, x)
-            r = rhs - apply_res(x)
+            dx = jnp.where(active[:, None], res.x.astype(f64), 0.0)
+            x = x + dx
+            # incremental residual: full slices on the first outer
+            # (dx ~ x), the cheaper s_lo split once dx is a correction
+            r = r - jax.lax.cond(
+                outers == 0,
+                lambda u: apply_res(u),
+                lambda u: apply_res(u, n_slices=s_lo), dx)
             it = it + jnp.where(active, res.iters + 1, 0)
             active = jnp.logical_and(active, rdot(r) > target)
             return (x, r, it, outers + 1, active)

@@ -267,7 +267,8 @@ def eq_to_qlattice(x, dims, nq1):
 
 def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
                       h1order, cfl, use_viscosity, use_vorticity,
-                      pallas=False, h0=None, interpret=False, oz=None):
+                      pallas=False, h0=None, interpret=False, oz=None,
+                      df64=None):
     """Whole-lattice 3D qupdate: banded-matmul gradients feeding the
     scalarized pointwise physics (ops/qphys.py) on q-lattice arrays.
 
@@ -294,6 +295,20 @@ def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
             dV9 = tuple(jnp.zeros_like(J9[0]) for _ in range(9))
         e_q = lzo.l2_eval_oz(e_b, oz)
         e_q = eq_to_qlattice(e_q, edims, nq1)
+        if df64 is not None and use_viscosity:
+            # fused double-float Pallas physics: the whole ~300-op
+            # pointwise chain stays VMEM-resident as two-f32 pairs
+            # instead of round-tripping XLA's emulated-f64
+            # intermediates through HBM (ops/pallas_df64.py)
+            from . import pallas_df64
+
+            sJit9, dtq = pallas_df64.physics_3d_df64(
+                J9, dV9, lat["J0i9"], e_q, lat["rw"], lat["gam"],
+                lat["winv"], lat["h0e"], h1order=h1order, cfl=cfl,
+                use_vorticity=use_vorticity,
+                bm=df64.get("bm", 32),
+                interpret=df64.get("interpret", False))
+            return sJit9, jnp.min(dtq)
         sJit9, dtq, _ = qphys.physics_3d(
             J9, dV9, lat["J0i9"], e_q, lat["rw"], lat["gam"],
             lat["winv"], h0_e=lat["h0e"], h1order=h1order, cfl=cfl,

@@ -493,15 +493,18 @@ class SlabHydro:
                 # exchange — the chains are block-local so only the
                 # assembled L-vector planes ride the ICI.
                 from ..ops import lattice_oz as lzo
+                from ..ops import pallas_df64 as pdf
 
                 loz = self.lat_oz
+                df64 = pdf.df64_mode(opt.df64_qphys)
 
                 def qupd(Sc):                                # noqa: F811
                     sJit9, dtm = lop.qupdate3d_lattice(
                         Sc["x"], Sc["v"], Sc["e"], lat, ldims, edims,
                         h.tables, h1order=float(opt.order_v),
                         cfl=opt.cfl, use_viscosity=h.use_visc,
-                        use_vorticity=h.use_vort, h0=h.h0, oz=loz)
+                        use_vorticity=h.use_vort, h0=h.h0, oz=loz,
+                        df64=df64)
                     return sJit9, jax.lax.pmin(dtm, names)
 
                 def mass_apply(u):                           # noqa: F811
@@ -576,10 +579,15 @@ class SlabHydro:
         # Hydro._cg_velocity_ir (Ozaki truncation ~a decade below the
         # residual target)
         s_res = min(8, max(4, int(np.ceil((-np.log2(tol) + 3.4) / 7.0))))
+        # incremental-update slice count after the first outer (see
+        # Hydro._cg_velocity_ir: the Ozaki split normalizes by the
+        # operand's own exponents, so A dx at correction size keeps the
+        # tracked residual ≥2 decades below tol with 2 fewer slices)
+        s_lo = max(3, s_res - 2)
 
-        def apply_res(u):
+        def apply_res(u, n_slices=None):
             y = lzo.mass_apply_lattice_oz(u, loz, lat["Dq"], ldims,
-                                          n_slices=s_res)
+                                          n_slices=n_slices or s_res)
             y = halo_add(y)
             return jnp.where(ess, 0.0, y)
 
@@ -608,9 +616,14 @@ class SlabHydro:
                 with jax.default_matmul_precision(opt.cg_ir_inner_mxu):
                     res = cg(apply32, r.astype(jnp.float32), inner_tol,
                              inner_max, precond=prec32, dot=pdot32)
-                dx = res.x.astype(f64)
-                x = jnp.where(active[:, None], x + dx, x)
-                r = rhs - apply_res(x)
+                dx = jnp.where(active[:, None], res.x.astype(f64), 0.0)
+                x = x + dx
+                # incremental residual: full slices while dx ~ x (first
+                # outer), the cheaper s_lo split once dx is a correction
+                r = r - jax.lax.cond(
+                    outers == 0,
+                    lambda u: apply_res(u),
+                    lambda u: apply_res(u, n_slices=s_lo), dx)
                 it = it + jnp.where(active, res.iters + 1, 0)
                 active = jnp.logical_and(active, rdot(r) > target)
                 return (x, r, it, outers + 1, active)

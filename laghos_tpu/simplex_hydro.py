@@ -32,7 +32,6 @@ class SimplexHydro:
         pb = opt.problem
         self.source, self.use_visc, self.use_vort = problems.problem_flags(
             pb, dim)
-        assert self.source == 0, "simplex path: source-free problems"
         order = default_rule_order(opt.order_v, opt.order_e, opt.order_q)
         if dim == 2:
             h1t = fsx.h1_tri_tables(opt.order_v, order)
@@ -126,6 +125,18 @@ class SimplexHydro:
         self.Me_inv = jnp.asarray(np.linalg.inv(Me), dtype)
 
         self.gamma_j = jnp.asarray(gamma_e, dtype)
+
+        # RT gravity velocity source: B_g = Mv . g with g = (0,-1,0..)
+        # is constant in time in the Lagrangian frame (mass matrix
+        # constant; laghos_solver.hpp:219-231 / hydro.py source == 2)
+        self.rt_rhs = None
+        if self.source == 2:
+            g = jnp.zeros((dim, self.ndof), dtype).at[1].set(-1.0)
+            ue = g[:, self.gather]
+            q = jnp.einsum("qi,cei->ceq", self.B, ue) * self.massD[None]
+            ye = jnp.einsum("qi,ceq->cei", self.B, q)
+            self.rt_rhs = self._assemble(ye)
+
         self.S0 = {"x": jnp.asarray(x0_l, dtype),
                    "v": jnp.asarray(v0.T, dtype),
                    "e": jnp.asarray(e_b, dtype)}
@@ -164,6 +175,14 @@ class SimplexHydro:
         if self.use_visc:
             dV = jnp.einsum("qib,eai->eqab", self.G, v_e)
             sgrad = jnp.einsum("...ab,...bk->...ak", dV, Jinv)
+            vort_coeff = 1.0
+            if self.use_vort:
+                grad_norm = jnp.sqrt(jnp.sum(sgrad * sgrad,
+                                             axis=(-2, -1)))
+                div_v = jnp.abs(jnp.einsum("...aa->...", sgrad))
+                vort_coeff = jnp.where(
+                    grad_norm > 0.0,
+                    div_v / jnp.maximum(grad_norm, 1e-300), 1.0)
             sym = 0.5 * (sgrad + jnp.swapaxes(sgrad, -2, -1))
             mu, ev = smallmat.sym_eig_smallest(sym, self.dim)
             Jpi = jnp.einsum("...ab,...bk->...ak", J, self.Jac0inv)
@@ -174,7 +193,7 @@ class SimplexHydro:
             eps = 1e-12
             from .ops.qupdate import smooth_step_01
 
-            visc = visc + (0.5 * R * h * cs
+            visc = visc + (0.5 * R * h * cs * vort_coeff
                            * (1.0 - smooth_step_01(mu - 2 * eps, eps)))
             stress = stress + visc[..., None, None] * sym
         sv = smallmat.min_singular_value(J, self.dim)
@@ -203,13 +222,31 @@ class SimplexHydro:
         y = self._assemble(ye)
         return jnp.where(self.ess, 0.0, y)
 
-    def _mult(self, S):
-        sJit, dtm = self._qupdate(S)
+    def _taylor_source(self, S):
+        """(f, psi) Taylor-Green manufactured energy forcing on the
+        current mesh (laghos_solver.hpp:207-218; same X,Y-only form as
+        the tensor path, hydro.py _taylor_source)."""
+        x_e = self._gathered(S["x"])
+        J = jnp.einsum("qib,eai->eqab", self.G, x_e)
+        detJ = smallmat.det(J, self.dim)
+        xq = jnp.einsum("qi,eai->eqa", self.B, x_e)
+        X, Y = xq[..., 0], xq[..., 1]
+        pi = jnp.pi
+        fq = (3.0 / 8.0) * pi * (jnp.cos(3 * pi * X) * jnp.cos(pi * Y)
+                                 - jnp.cos(pi * X) * jnp.cos(3 * pi * Y))
+        integ = self.W[None, :] * detJ * fq
+        return jnp.einsum("qj,eq->ej", self.Bl, integ)
+
+    def _solve_velocity(self, sJit):
+        """Coupled velocity-mass CG from the stress qdata (the FA
+        solver layout, laghos_solver.cpp:400-439)."""
         # rhs_i[vd] = -sum_q Ghat_g(i,q) sJit[g,vd](q) * 1_q (E=ones)
         one_q = jnp.sum(self.Bl, axis=1)               # (NQ,) sum of basis
         Fq = sJit * one_q[None, :, None, None]
         rhs_e = jnp.einsum("qig,eqgv->vei", self.G, Fq)
         rhs = -self._assemble(rhs_e)
+        if self.rt_rhs is not None:
+            rhs = rhs + self.rt_rhs
         rhs = jnp.where(self.ess, 0.0, rhs)
         flat = rhs.reshape(1, -1)
 
@@ -222,16 +259,27 @@ class SimplexHydro:
         dinv = jnp.where(self.ess, 1.0, dinv).reshape(1, -1)
         res = cg(apply_flat, flat, self.opt.cg_tol, self.opt.cg_max_iter,
                  precond=lambda r: r * dinv)
-        dv = res.x.reshape(self.dim, -1)
+        return res.x.reshape(self.dim, -1)
 
-        v_e = self._gathered(S["v"])
+    def _solve_energy(self, sJit, v, S):
+        """Direct per-element L2 energy solve against velocity v."""
+        v_e = v[:, self.gather].transpose(1, 0, 2)
         dVq = jnp.einsum("qig,eai->eqag", self.G, v_e)
         eq = jnp.einsum("eqvg,eqgv->eq", dVq, sJit)
         e_rhs = jnp.einsum("qj,eq->ej", self.Bl, eq)
-        de = jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
+        if self.source == 1:
+            e_rhs = e_rhs + self._taylor_source(S)
+        return jnp.einsum("eij,ej->ei", self.Me_inv, e_rhs)
+
+    def _mult(self, S):
+        sJit, dtm = self._qupdate(S)
+        dv = self._solve_velocity(sJit)
+        de = self._solve_energy(sJit, S["v"], S)
         return {"x": S["v"], "v": dv, "e": de}, dtm
 
     def _advance_impl(self, S, dt):
+        if self.opt.ode_solver == 7:
+            return self._rk2avg_impl(S, dt)
         ax = lambda a, c, b: jax.tree_util.tree_map(
             lambda u, v: u + c * v, a, b)
         k1, m1 = self._mult(S)
@@ -248,6 +296,29 @@ class SimplexHydro:
         _, m5 = self._qupdate(S_new)
         return S_new, jnp.minimum(jnp.minimum(m2, m3),
                                   jnp.minimum(m4, m5))
+
+    def _rk2avg_impl(self, S, dt):
+        """Energy-conserving two-stage average scheme (RK2Avg, -s 7;
+        laghos_solver.cpp:1447-1487 / hydro.py _rk2avg): the energy
+        equation is driven by the stage-averaged velocity V = v0 +
+        dt/2 dv, which makes IE+KE drift round-off for source-free
+        problems."""
+        v0 = S["v"]
+
+        def stage(Scur):
+            sJit, dtm = self._qupdate(Scur)
+            dv = self._solve_velocity(sJit)
+            V = v0 + 0.5 * dt * dv
+            de = self._solve_energy(sJit, V, Scur)
+            return {"x": V, "v": dv, "e": de}, dtm
+
+        d1, _ = stage(S)
+        Smid = jax.tree_util.tree_map(lambda a, b: a + 0.5 * dt * b,
+                                      S, d1)
+        d2, m2 = stage(Smid)
+        S_new = jax.tree_util.tree_map(lambda a, b: a + dt * b, S, d2)
+        _, m3 = self._qupdate(S_new)
+        return S_new, jnp.minimum(m2, m3)
 
     def run(self, t_final, max_steps=-1, verbose=False):
         S = self.S0

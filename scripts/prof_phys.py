@@ -166,12 +166,12 @@ def main():
     timed("eig3s_hybrid want_vector sweeps=2", eig_vec_s2, e_q, extra=s6)
 
     # ---- (c) force_transpose sub-stages -------------------------------
-    def ft_grad9(v, _):
+    def ft_grad9(v):
         return v + EPS * red(lzo.gradc_lattice_oz(v, loz))
 
     timed("fT: grad9(v) oz S=8", ft_grad9, v3)
 
-    def ft_grad9_s6(v, _):
+    def ft_grad9_s6(v):
         return v + EPS * red(lzo.gradc_lattice_oz(v, loz, n_slices=6))
 
     timed("fT: grad9(v) oz S=6", ft_grad9_s6, v3)
@@ -192,7 +192,7 @@ def main():
                            for gd in range(3) for vd in range(3)))(
         dV9, sJ))
 
-    def ft_rearrange(x, _):
+    def ft_rearrange(x):
         eq = lop.qlattice_to_eq(x, h._edims, h.nq1)
         return x + EPS * jnp.sum(eq)
 
@@ -201,13 +201,13 @@ def main():
     eq_e = jax.block_until_ready(jax.jit(
         lambda x: lop.qlattice_to_eq(x, h._edims, h.nq1))(eqc))
 
-    def ft_split(x, _):
+    def ft_split(x):
         return x + EPS * jnp.sum(
             omm.split_dyn(x, 8).cat.astype(jnp.float64))
 
     timed("fT: split_dyn(eq) S=8", ft_split, eq_e)
 
-    def ft_l2t(x, _):
+    def ft_l2t(x):
         return x + EPS * jnp.sum(lzo.l2_transpose_oz(x, loz))
 
     timed("fT: l2_transpose_oz S=8", ft_l2t, eq_e)
@@ -220,7 +220,7 @@ def main():
     timed("fT: full force_transpose", ft_full, v3, extra=sJ)
 
     # ---- force_one sub-stages ----------------------------------------
-    def f1_full(sj, _):
+    def f1_full(sj):
         return tuple(a + EPS * red(lzo.force_one_lattice_oz(sj, loz))
                      for a in sj)
 

@@ -43,6 +43,33 @@ def test_slab_ozaki_wiring():
     assert abs(dt1 - dt2) / dt1 < 1e-12
 
 
+def test_pencil_ozaki_wiring():
+    """The f64 production kernels are partition-shape-agnostic: a
+    2-axis (pencil) device mesh carries the same per-block Ozaki build
+    and reproduces the conforming dt estimate (reference counterpart:
+    the MPI path is partition-agnostic, laghos_solver.cpp:362-398)."""
+    h = _hydro_oz()
+    sp = SlabHydro(h, mesh_shape=(2, 2))
+    assert sp.lat_oz is not None
+    dt1 = float(h.dt_estimate(h.S0))
+    dt2 = float(sp.dt_estimate(sp.S0))
+    assert abs(dt1 - dt2) / dt1 < 1e-12
+
+
+@pytest.mark.slow
+def test_pencil_ozaki_ir_matches_conforming():
+    """Full-trajectory invariance of ozaki+IR over a pencil mesh."""
+    h = _hydro_oz()
+    sp = SlabHydro(h, mesh_shape=(2, 2))
+    r1 = driver.run(h, t_final=0.6, max_steps=8, verbose=False)
+    r2 = driver.run(sp, t_final=0.6, max_steps=8, verbose=False)
+    assert r1.steps == r2.steps
+    assert abs(r1.t - r2.t) < 1e-13
+    assert abs(r1.e_norm - r2.e_norm) / r1.e_norm < 1e-11
+    assert (abs(r1.energy_final - r2.energy_final)
+            / abs(r1.energy_final) < 1e-11)
+
+
 @pytest.mark.slow
 def test_slab_ozaki_ir_matches_conforming():
     """Full-trajectory device-count invariance of the ozaki+IR mode:
