@@ -113,7 +113,10 @@ def _measure_body(rs, ok, ot, dts, *, use_ozaki, ode_s, cgt, use_pallas,
     opt = Options(problem=1, blast_energy=2.0, ode_solver=ode_s,
                   order_v=ok, order_e=ot, use_pallas=use_pallas,
                   cg_tol=cgt, ozaki=use_ozaki, cg_warm_start=warm,
-                  precond=precond)
+                  precond=precond,
+                  # experiment knobs (bisecting perf/accuracy changes)
+                  df64_qphys=os.environ.get("BENCH_DF64", "auto"),
+                  cg_ir_inc=os.environ.get("BENCH_IR_INC", "1") == "1")
     h = Hydro(m, opt, dtype=dtype)
 
     # short real trajectory for a representative state + iteration counts

@@ -150,6 +150,11 @@ class Options:
                                   # absorbs inner operator error)
     cg_ir_inner_tol: float = 1e-5  # relative tolerance of the inner f32
                                   # sweeps in cg_ir mode
+    cg_ir_inc: bool = True        # track the outer residual
+                                  # incrementally (r <- r - A dx) at a
+                                  # reduced slice count after the first
+                                  # outer; off = every outer recomputes
+                                  # r = b - A x at full s_res slices
     cg_warm_start: bool = False   # warm-start the stage-k mass solves
                                   # from the stage-(k-1) accelerations
                                   # (same convergence target as a cold
@@ -855,12 +860,16 @@ class Hydro:
                          inner_max, precond=prec32)
             dx = jnp.where(active[:, None], res.x.astype(f64), 0.0)
             x = x + dx
-            # incremental residual: full slices on the first outer
-            # (dx ~ x), the cheaper s_lo split once dx is a correction
-            r = r - jax.lax.cond(
-                outers == 0,
-                lambda u: apply_res(u),
-                lambda u: apply_res(u, n_slices=s_lo), dx)
+            if self.opt.cg_ir_inc:
+                # incremental residual: full slices on the first outer
+                # (dx ~ x), the cheaper s_lo split once dx is a
+                # correction
+                r = r - jax.lax.cond(
+                    outers == 0,
+                    lambda u: apply_res(u),
+                    lambda u: apply_res(u, n_slices=s_lo), dx)
+            else:
+                r = rhs - apply_res(x)
             it = it + jnp.where(active, res.iters + 1, 0)
             active = jnp.logical_and(active, rdot(r) > target)
             return (x, r, it, outers + 1, active)

@@ -103,6 +103,28 @@ class DynSplit:
                              # in place (no per-level copies)
 
 
+_PALLAS_SPLIT = None     # lazy: None = unresolved, else bool
+
+
+def _use_pallas_split() -> bool:
+    """Whether split_dyn runs as the fused Pallas kernel
+    (ops/pallas_split).  Env LAGHOS_PALLAS_SPLIT: "0"/"off" forces the
+    XLA path, "1"/"on" forces the kernel, default "auto" = kernel on
+    TPU-class backends, XLA on CPU (native f64 + no Mosaic)."""
+    global _PALLAS_SPLIT
+    if _PALLAS_SPLIT is None:
+        import os
+
+        v = os.environ.get("LAGHOS_PALLAS_SPLIT", "auto").lower()
+        if v in ("0", "off"):
+            _PALLAS_SPLIT = False
+        elif v in ("1", "on"):
+            _PALLAS_SPLIT = True
+        else:
+            _PALLAS_SPLIT = jax.default_backend() != "cpu"
+    return _PALLAS_SPLIT
+
+
 def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
               axis: int = -1) -> DynSplit:
     """Per-row power-of-2 scaling + q-bit integer slices (on device).
@@ -119,6 +141,17 @@ def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
     combined per-level sums into int8 range (adjacent levels differ by
     2^Q, so moving +-2^Q down a level to +-1 up a level is exact).
     """
+    if A.dtype == jnp.float64 and _use_pallas_split():
+        from . import pallas_split
+
+        cat, e = pallas_split.split_cat_pallas(A, n_slices, axis)
+        ax = axis % A.ndim
+        k = A.shape[ax]
+        slices = tuple(
+            jax.lax.slice_in_dim(cat, t * k, (t + 1) * k, axis=ax)
+            for t in range(n_slices))
+        return DynSplit(slices, pallas_split.exact_pow2(e, A.dtype),
+                        n_slices, cat)
     mx = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
     mx = jnp.where(mx == 0.0, 1.0, mx)
     # |A| * 2^-e <= 1/2 (ceil, not floor+1: floor+1 leaves m in (1/2, 1]
