@@ -802,10 +802,17 @@ class Hydro:
         # incremental-update slice count: after the first outer the
         # correction dx is ≤ ~kappa*inner_tol of x, and the Ozaki
         # truncation is RELATIVE TO ‖dx‖ (split_dyn normalizes by the
-        # operand's own exponents), so r <- r - A dx needs ~2 fewer
+        # operand's own exponents), so r <- r - A dx tolerates fewer
         # slices for the same absolute residual accuracy — the exact
-        # analog of plain f64 CG's incrementally-tracked residual
-        s_lo = max(3, s_res - 2)
+        # analog of plain f64 CG's incrementally-tracked residual.
+        # One fewer (not two): at s_lo = s_res-2 = 4 the ~2.2e-8
+        # relative truncation through the 6 chained contraction stages
+        # times shock-row correction magnitudes lands at ~2e-11*|Ax| —
+        # exactly the 1e-11 convergence-test level, so solves stop
+        # under-converged and RK2Avg total-energy drift degrades
+        # 2e-13 -> 1e-11 (measured, round-5 bisect).  s_res-1 = 5 puts
+        # the truncation at ~2.7e-13 for +0.7 ms/outer.
+        s_lo = max(3, s_res - 1)
 
         def apply_res(u, n_slices=None):
             from .ops import lattice_oz as lzo

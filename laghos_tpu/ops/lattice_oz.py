@@ -82,6 +82,9 @@ def mass_apply_lattice_oz(uL, loz, Dq, lat_dims, n_slices=None):
     set) below the build's static count: the IR velocity solve uses 6
     (~2^-42 truncation — three decades below its 1e-8 residual target,
     21 vs 36 MXU products per contraction).
+
+    Splits run through the fused Pallas kernel on TPU (default impl
+    dispatch) — measured 47.8 -> 31.4 ms on the full ns2 IR solve.
     """
     C = uL.shape[0]
     S = n_slices or _S(loz)
@@ -110,17 +113,23 @@ def gradc_lattice_oz(uc, loz, n_slices=None):
     """
     S = n_slices or _S(loz)
     fB, fG = loz["fwdB"], loz["fwdG"]
-    du = omm.split_dyn(uc, S, axis=1)
+    # impl="xla": these are reconstruct->split chains where XLA fuses
+    # the elementwise cascade into the producing reconstruction; the
+    # Pallas kernel is a fusion barrier and measured 3x slower here
+    du = omm.split_dyn(uc, S, axis=1, impl="xla")
     tzB = omm.mm(du, fB[0], axis=1)          # (C, Ly, Lx, Qz)
     tzG = omm.mm(du, fG[0], axis=1)
-    dB = omm.split_dyn(tzB, S, axis=1)
+    dB = omm.split_dyn(tzB, S, axis=1, impl="xla")
     tBB = omm.mm(dB, fB[1], axis=1)          # (C, Lx, Qz, Qy)
     tBG = omm.mm(dB, fG[1], axis=1)
-    dG = omm.split_dyn(tzG, S, axis=1)
+    dG = omm.split_dyn(tzG, S, axis=1, impl="xla")
     tGB = omm.mm(dG, fB[1], axis=1)
-    d_x = omm.tensordot(tBB, fG[2], axis=1, n_slices=S)  # (C,Qz,Qy,Qx)
-    d_y = omm.tensordot(tBG, fB[2], axis=1, n_slices=S)
-    d_z = omm.tensordot(tGB, fB[2], axis=1, n_slices=S)
+    d_x = omm.tensordot(tBB, fG[2], axis=1, n_slices=S,
+                        split_impl="xla")    # (C, Qz, Qy, Qx)
+    d_y = omm.tensordot(tBG, fB[2], axis=1, n_slices=S,
+                        split_impl="xla")
+    d_z = omm.tensordot(tGB, fB[2], axis=1, n_slices=S,
+                        split_impl="xla")
     return d_x, d_y, d_z
 
 
@@ -155,18 +164,21 @@ def force_one_lattice_oz(sJ, loz):
         Tz = bG[0] if gd == 2 else bB[0]
         Ty = bG[1] if gd == 1 else bB[1]
         Tx = bG[2] if gd == 0 else bB[2]
-        t = omm.tensordot(s, Tz, axis=1, n_slices=S)   # (3,Qy,Qx,Lz)
-        t = omm.tensordot(t, Ty, axis=1, n_slices=S)   # (3,Qx,Lz,Ly)
-        t = omm.tensordot(t, Tx, axis=1, n_slices=S)   # (3,Lz,Ly,Lx)
+        t = omm.tensordot(s, Tz, axis=1, n_slices=S,
+                          split_impl="xla")  # (3, Qy, Qx, Lz)
+        t = omm.tensordot(t, Ty, axis=1, n_slices=S,
+                          split_impl="xla")  # (3, Qx, Lz, Ly)
+        t = omm.tensordot(t, Tx, axis=1, n_slices=S,
+                          split_impl="xla")  # (3, Lz, Ly, Lx)
         acc = t if acc is None else acc + t
     return acc
 
 
 def l2_eval_oz(e_b, loz):
     """(NE, ld) L2 dofs -> (NE, NQ) qpoint values, f64-accurate."""
-    return omm.matmul(e_b, loz["l2fwd"], _S(loz))
+    return omm.matmul(e_b, loz["l2fwd"], _S(loz), split_impl="xla")
 
 
 def l2_transpose_oz(eq, loz):
     """(NE, NQ) qpoint integrand -> (NE, ld) L2 rhs, f64-accurate."""
-    return omm.matmul(eq, loz["l2bwd"], _S(loz))
+    return omm.matmul(eq, loz["l2bwd"], _S(loz), split_impl="xla")

@@ -126,8 +126,16 @@ def _use_pallas_split() -> bool:
 
 
 def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
-              axis: int = -1) -> DynSplit:
+              axis: int = -1, impl: str = None) -> DynSplit:
     """Per-row power-of-2 scaling + q-bit integer slices (on device).
+
+    `impl`: None defers to _use_pallas_split (the fused Pallas kernel
+    on TPU backends); "xla" forces this XLA form — measured FASTER for
+    splits of intermediates inside reconstruct->split chains (force,
+    gradients), where XLA fuses the elementwise cascade into the
+    producing reconstruction and pallas_call would be a fusion barrier;
+    "pallas" forces the kernel (standalone splits of operator inputs:
+    the IR residual mass applies, where it wins ~35%).
 
     The round/residual cascade must be EXACT: on TPU, f64 arithmetic is
     emulated as double-float, whose round() is not exactly rounded —
@@ -141,7 +149,9 @@ def split_dyn(A: jnp.ndarray, n_slices: int = S_FULL,
     combined per-level sums into int8 range (adjacent levels differ by
     2^Q, so moving +-2^Q down a level to +-1 up a level is exact).
     """
-    if A.dtype == jnp.float64 and _use_pallas_split():
+    use_pallas = (_use_pallas_split() if impl is None
+                  else impl == "pallas")
+    if A.dtype == jnp.float64 and use_pallas:
         from . import pallas_split
 
         cat, e = pallas_split.split_cat_pallas(A, n_slices, axis)
@@ -272,12 +282,15 @@ def mm(dyn: DynSplit, st: StaticSplit, axis: int = -1) -> jnp.ndarray:
     return acc * scale * st.scale
 
 
-def matmul(A, B_static: StaticSplit, n_slices: int = S_FULL):
+def matmul(A, B_static: StaticSplit, n_slices: int = S_FULL,
+           split_impl: str = None):
     """One-shot A (..., k) @ B (k, n) with a fresh dynamic split."""
-    return mm(split_dyn(A, n_slices), B_static)
+    return mm(split_dyn(A, n_slices, impl=split_impl), B_static)
 
 
-def tensordot(A, st: StaticSplit, axis: int, n_slices: int = S_FULL):
+def tensordot(A, st: StaticSplit, axis: int, n_slices: int = S_FULL,
+              split_impl: str = None):
     """f64-accurate jnp.tensordot(A, B, axes=[[axis], [0]]): the
     contracted axis is replaced by B's free axis, appended LAST."""
-    return mm(split_dyn(A, n_slices, axis=axis), st, axis=axis)
+    return mm(split_dyn(A, n_slices, axis=axis, impl=split_impl),
+              st, axis=axis)

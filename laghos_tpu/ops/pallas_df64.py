@@ -91,7 +91,7 @@ def _kernel(stat_ref, *refs, h1order, cfl, use_viscosity, use_vorticity,
 
 def physics_3d_pallas_df64(J9, dV9, df_stat, e_q, *, h1order, cfl,
                            use_viscosity=True, use_vorticity=False,
-                           hard_visc=False, eig_sweeps=4, bm=32,
+                           hard_visc=False, eig_sweeps=4, bm=64,
                            interpret=False):
     """Fused df64 physics: J9/dV9 9-tuples of f64 q-lattice arrays,
     df_stat the build_df_stat bundle, e_q f64.  Returns (sJit 9-tuple
@@ -150,7 +150,7 @@ def physics_3d_pallas_df64(J9, dV9, df_stat, e_q, *, h1order, cfl,
 
 def physics_3d_df64(J9, dV9, J0i9, e_q, rw, gam, winv, h0e, *, h1order,
                     cfl, use_viscosity=True, use_vorticity=False,
-                    hard_visc=False, eig_sweeps=4, bm=32,
+                    hard_visc=False, eig_sweeps=4, bm=64,
                     interpret=False):
     """Drop-in image of qphys.physics_3d's (J, dV, J0i, e, rw, gam,
     winv, h0_e) signature that runs the fused df64 Pallas kernel.

@@ -582,8 +582,9 @@ class SlabHydro:
         # incremental-update slice count after the first outer (see
         # Hydro._cg_velocity_ir: the Ozaki split normalizes by the
         # operand's own exponents, so A dx at correction size keeps the
-        # tracked residual ≥2 decades below tol with 2 fewer slices)
-        s_lo = max(3, s_res - 2)
+        # tracked residual below tol with one fewer slice; s_res-2 was
+        # measured to under-converge shock rows — drift 2e-13 -> 1e-11)
+        s_lo = max(3, s_res - 1)
 
         def apply_res(u, n_slices=None):
             y = lzo.mass_apply_lattice_oz(u, loz, lat["Dq"], ldims,
