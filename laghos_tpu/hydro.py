@@ -105,6 +105,17 @@ class Options:
                                   # truncation), 7 = ~2^-49 (at the
                                   # double-float emulation noise floor,
                                   # still conserving energy to <1e-12)
+    ozaki_rhs_slices: int = 0     # dynamic slice count of the FORCE
+                                  # rhs chains (F.1 / grad(v) / L2
+                                  # transpose) — the pair whose
+                                  # adjointness total-energy
+                                  # conservation rides on.  0 = the
+                                  # build's static count
+                                  # (ozaki_slices).  7 puts every
+                                  # per-stage truncation at ~2^-49 —
+                                  # the TPU double-float emulation
+                                  # noise floor itself — for 28/36 of
+                                  # the MXU level-dots per contraction.
     precond: str = "auto"         # velocity-mass CG preconditioner:
                                   # "auto" = "kron" on raster lattices
                                   # (falls back to jacobi elsewhere);
@@ -702,7 +713,9 @@ class Hydro:
                 from .ops import lattice_oz as lzo
 
                 y = lzo.force_one_lattice_oz(
-                    sJit, self._lat_oz).reshape(d, -1)
+                    sJit, self._lat_oz,
+                    n_slices=self.opt.ozaki_rhs_slices or None
+                ).reshape(d, -1)
             else:
                 y = lop.force_one_lattice(sJit, self._lat["Ts"],
                                           self._lat["Tg"]).reshape(d, -1)
@@ -953,7 +966,8 @@ class Hydro:
 
             return lop.force_transpose_lattice(
                 v, sJit, self._lat, self._lat_dims, self._edims,
-                self.tables, oz=self._lat_oz)
+                self.tables, oz=self._lat_oz,
+                oz_slices=self.opt.ozaki_rhs_slices or None)
         v_e = self._gather_e(v)
         if isinstance(sJit, tuple):
             if self.oz is not None:

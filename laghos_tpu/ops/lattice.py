@@ -350,7 +350,7 @@ def qupdate3d_lattice(xL, vL, e_b, lat, lat_dims, edims, tables, *,
 
 
 def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables,
-                            oz=None):
+                            oz=None, oz_slices=None):
     """F^T . v from q-lattice stress data: e_rhs (NE, ld)."""
     from . import tensor
 
@@ -359,7 +359,7 @@ def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables,
     if oz is not None:
         from . import lattice_oz as lzo
 
-        dV9 = lzo.grad9_lattice_oz(v3, oz)
+        dV9 = lzo.grad9_lattice_oz(v3, oz, n_slices=oz_slices)
     else:
         dV9 = grad9_lattice(v3, lat["Ts"], lat["Tg"])
     eq = None
@@ -371,7 +371,7 @@ def force_transpose_lattice(vL, sJ, lat, lat_dims, edims, tables,
     if oz is not None:
         from . import lattice_oz as lzo
 
-        return lzo.l2_transpose_oz(eq, oz)
+        return lzo.l2_transpose_oz(eq, oz, n_slices=oz_slices)
     et = eq.reshape((eq.shape[0],) + (nq1,) * 3)
     out = tensor.eval_transpose(et, tables["L2B"].T, 3)
     return out.reshape(eq.shape[0], -1)

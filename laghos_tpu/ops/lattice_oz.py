@@ -133,10 +133,10 @@ def gradc_lattice_oz(uc, loz, n_slices=None):
     return d_x, d_y, d_z
 
 
-def grad9_lattice_oz(u3, loz):
+def grad9_lattice_oz(u3, loz, n_slices=None):
     """9-tuple J[a*3+b] = d u_a / d xi_b (ops/lattice.grad9_lattice
     layout) from one batched gradc chain."""
-    d_x, d_y, d_z = gradc_lattice_oz(u3, loz)
+    d_x, d_y, d_z = gradc_lattice_oz(u3, loz, n_slices=n_slices)
     return tuple(d[a] for a in range(3) for d in (d_x, d_y, d_z))
 
 
@@ -150,13 +150,18 @@ def grad18_lattice_oz(x3, v3, loz, n_slices=6):
     return J9, dV9
 
 
-def force_one_lattice_oz(sJ, loz):
+def force_one_lattice_oz(sJ, loz, n_slices=None):
     """f64-accurate (F . 1) on the H1 lattice from q-lattice stress.
 
     sJ: 9-tuple sJit[gd*3+vd]; returns (3, Lz, Ly, Lx).  For each
     reference direction gd the three velocity components share one
-    batched transpose chain (9 splits / 9 slice-matmuls total)."""
-    S = _S(loz)
+    batched transpose chain (9 splits / 9 slice-matmuls total).
+
+    `n_slices` truncates the dynamic splits below the build's static
+    count (Options.ozaki_rhs_slices): 7 puts the per-stage truncation
+    at ~2^-49 — the double-float emulation noise floor itself — for
+    28 vs 36 level-dots per contraction."""
+    S = n_slices or _S(loz)
     bB, bG = loz["bwdB"], loz["bwdG"]
     acc = None
     for gd in range(3):
@@ -174,11 +179,13 @@ def force_one_lattice_oz(sJ, loz):
     return acc
 
 
-def l2_eval_oz(e_b, loz):
+def l2_eval_oz(e_b, loz, n_slices=None):
     """(NE, ld) L2 dofs -> (NE, NQ) qpoint values, f64-accurate."""
-    return omm.matmul(e_b, loz["l2fwd"], _S(loz), split_impl="xla")
+    return omm.matmul(e_b, loz["l2fwd"], n_slices or _S(loz),
+                      split_impl="xla")
 
 
-def l2_transpose_oz(eq, loz):
+def l2_transpose_oz(eq, loz, n_slices=None):
     """(NE, NQ) qpoint integrand -> (NE, ld) L2 rhs, f64-accurate."""
-    return omm.matmul(eq, loz["l2bwd"], _S(loz), split_impl="xla")
+    return omm.matmul(eq, loz["l2bwd"], n_slices or _S(loz),
+                      split_impl="xla")

@@ -513,15 +513,18 @@ class SlabHydro:
                     y = halo_add(y)
                     return jnp.where(ess, 0.0, y)
 
+                rhs_S = opt.ozaki_rhs_slices or None
+
                 def force_rhs(sJit):                         # noqa: F811
                     y = lzo.force_one_lattice_oz(
-                        sJit, loz).reshape(d, -1)
+                        sJit, loz, n_slices=rhs_S).reshape(d, -1)
                     y = halo_add(y)
                     return jnp.where(jnp.abs(y) < h.ftz_eps2, 0.0, y)
 
                 def force_T(sJit, v):                        # noqa: F811
                     return lop.force_transpose_lattice(
-                        v, sJit, lat, ldims, edims, h.tables, oz=loz)
+                        v, sJit, lat, ldims, edims, h.tables, oz=loz,
+                        oz_slices=rhs_S)
 
                 if opt.cg_ir:
                     solve_ir = self._make_solve_ir(
